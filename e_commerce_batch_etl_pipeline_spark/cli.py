@@ -1,0 +1,95 @@
+"""spark-submit entry point.
+
+Usage (north_rule launch shape):
+
+    spark-submit --py-files e_commerce_batch_etl_pipeline_spark.zip \
+        -m e_commerce_batch_etl_pipeline_spark.cli \
+        replay --table /path/table --wal /path/wal --checkpoint /path/ckpt
+
+Subcommands:
+    datagen    — deterministic base docs + WAL epochs (seeded, distributed)
+    bootstrap  — initial snapshot commit of the base table
+    replay     — checkpointed epoch loop (resumes automatically)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="cdc-ingest")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("datagen")
+    g.add_argument("--out", required=True)
+    g.add_argument("--base-n", type=int, default=50_000)
+    g.add_argument("--epochs", type=int, default=8)
+    g.add_argument("--changes-per-epoch", type=int, default=25_000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--max-len", type=int, default=256)
+    g.add_argument("--evolve-from-epoch", type=int, default=None)
+
+    b = sub.add_parser("bootstrap")
+    b.add_argument("--table", required=True)
+    b.add_argument("--base", required=True, help="parquet dir of base docs")
+    b.add_argument("--num-buckets", type=int, default=16)
+
+    r = sub.add_parser("replay")
+    r.add_argument("--table", required=True)
+    r.add_argument("--wal", required=True)
+    r.add_argument("--checkpoint", required=True)
+    r.add_argument("--max-epochs", type=int, default=None)
+    r.add_argument("--no-salt", action="store_true")
+
+    args = p.parse_args(argv)
+
+    from .session import build_session
+
+    spark = build_session(master=None)
+
+    if args.cmd == "datagen":
+        from .sources.datagen import generate_base_docs, write_wal
+
+        base = generate_base_docs(spark, args.base_n, seed=args.seed,
+                                  max_len=args.max_len)
+        base.write.mode("overwrite").parquet(f"{args.out}/base")
+        write_wal(spark, f"{args.out}/wal", args.epochs,
+                  args.changes_per_epoch, args.base_n, seed=args.seed,
+                  max_len=args.max_len,
+                  evolve_from_epoch=args.evolve_from_epoch)
+        print(json.dumps({"base": args.base_n,
+                          "wal_events": args.epochs * args.changes_per_epoch}))
+    elif args.cmd == "bootstrap":
+        from .streaming.bootstrap import bootstrap_table
+
+        base = spark.read.parquet(args.base)
+        bootstrap_table(args.table, base, num_buckets=args.num_buckets)
+        print(json.dumps({"bootstrapped": args.table}))
+    elif args.cmd == "replay":
+        from .sources.wal import WalSource
+        from .streaming.microbatch import CdcEngine
+        from .tables.format import LakeTable
+
+        eng = CdcEngine(
+            spark, LakeTable(args.table), WalSource(args.wal),
+            args.checkpoint, salted=not args.no_salt,
+        )
+        t0 = time.time()
+        results = eng.run(max_epochs=args.max_epochs)
+        wall = time.time() - t0
+        applied = sum(r.rows_applied for r in results)
+        print(json.dumps({
+            "epochs": len(results),
+            "rows_applied": applied,
+            "wall_sec": round(wall, 3),
+            "events_per_sec": round(applied / wall, 1) if wall > 0 else None,
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,88 @@
+"""Last-writer-wins dedup — the CDC engine's core operator.
+
+Reference analog: ``src/transform.py:73-87`` uses
+``dropDuplicates(["invoice_id","stock_code"])`` which keeps an *arbitrary*
+row per key (its docstring claims order-by-date semantics it does not
+implement — SURVEY.md §2.4 D1). This module is that operator made
+deterministic: the winner per key is the row with the highest ``lsn``
+(total order: ``(lsn, op_rank)``; the generator never emits duplicate
+``(doc_id, lsn)``, the op_rank tiebreak is defense in depth).
+
+Two physical strategies, same semantics:
+
+- ``lww_dedup``: single ``max_by`` hash aggregate. Spark's partial
+  (map-side) aggregation already combines per input partition before the
+  shuffle, so the shuffled volume is at most (#distinct keys per input
+  partition) rows — the right default when key skew is mild.
+- ``lww_dedup_salted``: explicit two-stage aggregate for hot keys. Stage 1
+  groups by (key, salt) where salt = pmod(xxhash64(lsn), S) — a hot key's
+  rows land in S reducer cells instead of 1; stage 2 reduces the S
+  winners per key. AQE's skew handling only splits skewed *join*
+  partitions, not aggregation groups, so at 10^10-event scale with a
+  20%-hot key this explicit salting is mandatory (SURVEY.md §7.4).
+
+Both avoid windows-over-shuffle-sort: ``max_by(struct, lsn)`` is a hash
+aggregate (no sort), cheaper than ``row_number() over (partition by key
+order by lsn desc)`` which sorts every group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+def _op_rank():
+    # deterministic tiebreak if two envelopes carry the same lsn: deletes
+    # lose to upserts at equal lsn (never happens with a correct WAL;
+    # defense only)
+    return F.when(F.col("op") == "D", F.lit(0)).otherwise(F.lit(1))
+
+
+def _payload_struct(df: DataFrame, key: str, order: str) -> list[str]:
+    return [c for c in df.columns if c not in (key,)]
+
+
+def lww_dedup(df: DataFrame, key: str = "doc_id", order: str = "lsn") -> DataFrame:
+    """Keep, per key, the row with max (order, op_rank). Single hash agg."""
+    payload = _payload_struct(df, key, order)
+    ordk = F.struct(F.col(order), _op_rank().alias("_rank")) if "op" in df.columns \
+        else F.struct(F.col(order))
+    winner = df.groupBy(key).agg(
+        F.max_by(F.struct(*payload), ordk).alias("_w")
+    )
+    return winner.select(key, *[F.col(f"_w.{c}").alias(c) for c in payload])
+
+
+def lww_dedup_salted(
+    df: DataFrame,
+    key: str = "doc_id",
+    order: str = "lsn",
+    num_salts: int = 16,
+) -> DataFrame:
+    """Two-stage salted LWW for hot-key skew.
+
+    Stage 1 shuffles on (key, salt) — a key receiving 20% of a 10^10-event
+    epoch spreads over ``num_salts`` reducers. Stage 2 shuffles only the
+    per-(key, salt) winners (≤ num_salts rows per key), which is tiny.
+    Semantics identical to ``lww_dedup`` (tested for equivalence).
+    """
+    payload = _payload_struct(df, key, order)
+    ordk = F.struct(F.col(order), _op_rank().alias("_rank")) if "op" in df.columns \
+        else F.struct(F.col(order))
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(order)), F.lit(num_salts))
+    )
+    stage1 = salted.groupBy(key, "_salt").agg(
+        F.max_by(F.struct(*payload), ordk).alias("_w"),
+        F.max(F.col(order)).alias("_max_order"),
+    )
+    ordk2 = (
+        F.struct(
+            F.col("_max_order"),
+            F.when(F.col("_w.op") == "D", F.lit(0)).otherwise(F.lit(1)).alias("_rank"),
+        )
+        if "op" in df.columns
+        else F.struct(F.col("_max_order"))
+    )
+    stage2 = stage1.groupBy(key).agg(F.max_by(F.col("_w"), ordk2).alias("_w"))
+    return stage2.select(key, *[F.col(f"_w.{c}").alias(c) for c in payload])

@@ -1,0 +1,394 @@
+"""Iceberg-shaped lake table format, from scratch.
+
+The sandbox has no iceberg-spark-runtime jar, so the table layer implements
+the same *shape* of guarantees Iceberg gives (SURVEY.md §7.2) above plain
+Parquet:
+
+- **Immutable data files** under ``data/b=<bucket>/``, hash-bucketed by the
+  table key so an upsert only rewrites touched buckets (file-level pruning;
+  at 100 TB this is the difference between rewriting 100 TB per epoch and
+  rewriting only the buckets an epoch's change-set touches).
+- **Snapshot manifests** ``metadata/snapshot-<v>.json`` listing the live
+  files + per-file stats; readers go through the manifest, never through
+  directory listing, so partially-written files are invisible.
+- **Atomic commit**: write ``snapshot-<v+1>.json``, then ``os.replace`` the
+  ``VERSION`` pointer — the same single-swap semantics as Iceberg's
+  metadata pointer (single-writer assumption, documented).
+- **Exactly-once fencing**: each snapshot carries the set of committed
+  ``(epoch, bucket)`` units and a per-bucket high-LSN watermark; replaying
+  an already-committed epoch is a metadata no-op, and rows with
+  ``lsn <= watermark`` are dropped by the engine before the merge.
+- **Schema evolution as metadata-only DDL**: adding a nullable column or
+  widening an integer type bumps ``schema_version`` in the manifest only;
+  readers reconcile old files via ``lit(None)`` + ``cast`` at scan time —
+  no data rewrite (Iceberg's add-column / type-promotion semantics).
+
+Reference analog: the reference's persistent layer is an overwrite-mode
+partitioned Parquet dir with no snapshot log (``src/load.py:8-43``,
+``src/config.py:52``); this module adds the ACID/commit layer the
+north-rule requires. The partitioned-write + file-count control semantics
+of ``src/load.py:34-41`` live on in ``write_data_files``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+VERSION_FILE = "VERSION"
+_TYPE_WIDENING_OK = {
+    ("int", "bigint"),
+    ("smallint", "int"),
+    ("smallint", "bigint"),
+    ("tinyint", "smallint"),
+    ("tinyint", "int"),
+    ("tinyint", "bigint"),
+    ("float", "double"),
+    ("int", "double"),  # permissive: int -> double widening
+}
+
+
+@dataclass
+class TableSchema:
+    """Versioned schema: list of (name, spark-ddl-type, nullable)."""
+
+    fields: list[tuple[str, str, bool]]
+    schema_version: int = 0
+
+    def to_struct(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(n, _parse_type(t), nullable)
+                for n, t, nullable in self.fields
+            ]
+        )
+
+    def names(self) -> list[str]:
+        return [n for n, _, _ in self.fields]
+
+    def to_json(self) -> dict:
+        return {
+            "schema_version": self.schema_version,
+            "fields": [list(f) for f in self.fields],
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "TableSchema":
+        return TableSchema(
+            fields=[(n, t, bool(nl)) for n, t, nl in d["fields"]],
+            schema_version=int(d["schema_version"]),
+        )
+
+    def evolved(
+        self,
+        add_columns: list[tuple[str, str]] | None = None,
+        widen: dict[str, str] | None = None,
+    ) -> "TableSchema":
+        """Additive evolution: new nullable columns + integer/float widening.
+
+        Raises on anything that would require a data rewrite (drop, rename,
+        narrowing) — mirroring Iceberg's safe-evolution rules.
+        """
+        fields = list(self.fields)
+        names = {n for n, _, _ in fields}
+        for name, typ in add_columns or []:
+            if name in names:
+                raise ValueError(f"column {name} already exists")
+            fields.append((name, typ, True))
+        if widen:
+            out = []
+            for n, t, nl in fields:
+                if n in widen:
+                    new_t = widen[n]
+                    if (t, new_t) not in _TYPE_WIDENING_OK:
+                        raise ValueError(f"illegal widening {t} -> {new_t} for {n}")
+                    out.append((n, new_t, nl))
+                else:
+                    out.append((n, t, nl))
+            fields = out
+        return TableSchema(fields=fields, schema_version=self.schema_version + 1)
+
+
+def _parse_type(ddl: str) -> T.DataType:
+    # struct wrapper trick: parse "a: <ddl>" and take the field's type
+    return T.StructType.fromDDL(f"x {ddl}")[0].dataType
+
+
+@dataclass
+class Snapshot:
+    version: int
+    schema: TableSchema
+    key_column: str
+    num_buckets: int
+    # file entries: {"path": rel, "bucket": int, "rows": int}
+    files: list[dict] = field(default_factory=list)
+    # committed units: {"epoch:bucket": {"max_lsn": L, "rows_applied": n}}
+    fences: dict[str, dict] = field(default_factory=dict)
+    # per-bucket high LSN watermark: {"bucket": L}
+    watermark: dict[str, int] = field(default_factory=dict)
+    parent: int | None = None
+    committed_at: float = 0.0
+    props: dict = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "version": self.version,
+            "schema": self.schema.to_json(),
+            "key_column": self.key_column,
+            "num_buckets": self.num_buckets,
+            "files": self.files,
+            "fences": self.fences,
+            "watermark": self.watermark,
+            "parent": self.parent,
+            "committed_at": self.committed_at,
+            "props": self.props,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Snapshot":
+        return Snapshot(
+            version=d["version"],
+            schema=TableSchema.from_json(d["schema"]),
+            key_column=d["key_column"],
+            num_buckets=d["num_buckets"],
+            files=d["files"],
+            fences=d["fences"],
+            watermark=d["watermark"],
+            parent=d.get("parent"),
+            committed_at=d.get("committed_at", 0.0),
+            props=d.get("props", {}),
+        )
+
+
+def bucket_expr(key_col: str, num_buckets: int):
+    """Deterministic bucket id for a key: pmod(xxhash64(key), B).
+
+    xxhash64 is a Catalyst built-in (JVM-side, codegen'd) — stable across
+    Spark versions and partitionings, so bucket assignment is reproducible
+    on any cluster size.
+    """
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
+
+
+class LakeTable:
+    """Single-writer, snapshot-isolated lake table."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    # ---------- lifecycle ----------
+
+    @staticmethod
+    def create(
+        root: str,
+        schema: TableSchema,
+        key_column: str = "doc_id",
+        num_buckets: int = 16,
+        props: dict | None = None,
+    ) -> "LakeTable":
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+        t = LakeTable(root)
+        snap = Snapshot(
+            version=0,
+            schema=schema,
+            key_column=key_column,
+            num_buckets=num_buckets,
+            committed_at=time.time(),
+            props=props or {},
+        )
+        t._write_snapshot(snap)
+        return t
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        return os.path.exists(os.path.join(root, "metadata", VERSION_FILE))
+
+    def current(self) -> Snapshot:
+        with open(os.path.join(self.root, "metadata", VERSION_FILE)) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.root, "metadata", name)) as f:
+            return Snapshot.from_json(json.load(f))
+
+    def snapshot_at(self, version: int) -> Snapshot:
+        """Time travel: load a specific snapshot version."""
+        p = os.path.join(self.root, "metadata", f"snapshot-{version:08d}.json")
+        with open(p) as f:
+            return Snapshot.from_json(json.load(f))
+
+    def history(self) -> list[int]:
+        md = os.path.join(self.root, "metadata")
+        return sorted(
+            int(fn.split("-")[1].split(".")[0])
+            for fn in os.listdir(md)
+            if fn.startswith("snapshot-")
+        )
+
+    # ---------- read path ----------
+
+    def read(
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        snapshot: Snapshot | None = None,
+    ) -> DataFrame:
+        """Manifest-driven scan with file pruning + schema reconciliation.
+
+        Only files listed in the snapshot are read (partially-written or
+        orphaned files are invisible). ``buckets`` prunes to the touched
+        buckets — the MERGE path's file-level pruning. Old files written
+        under an earlier schema_version are reconciled column-by-column:
+        missing columns become typed NULLs, narrower ints are cast up.
+        """
+        snap = snapshot or self.current()
+        files = snap.files
+        if buckets is not None:
+            bs = set(buckets)
+            files = [f for f in files if f["bucket"] in bs]
+        target = snap.schema.to_struct()
+        if not files:
+            return spark.createDataFrame([], target)
+        paths = [os.path.join(self.root, f["path"]) for f in files]
+        # mergeSchema=false: we reconcile ourselves; read is schema-on-read
+        df = spark.read.parquet(*paths)
+        cols = []
+        have = {f.name: f.dataType for f in df.schema.fields}
+        for fld in target.fields:
+            if fld.name in have:
+                c = F.col(fld.name)
+                if have[fld.name] != fld.dataType:
+                    c = c.cast(fld.dataType)
+                cols.append(c.alias(fld.name))
+            else:
+                cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+        return df.select(*cols)
+
+    # ---------- write path ----------
+
+    def write_data_files(
+        self, df: DataFrame, buckets_touched: list[int]
+    ) -> list[dict]:
+        """Stage new data files for the given buckets; returns file entries.
+
+        The frame must already carry a ``_bucket`` column. One output dir
+        per commit attempt (uuid) so concurrent/crashed attempts never
+        collide; files become live only when a snapshot referencing them is
+        published. ``partitionBy`` gives one file per (bucket, task) —
+        paired with an upstream ``repartition(num_buckets, _bucket)`` this
+        yields exactly one file per bucket (the reference's file-count
+        control, ``src/load.py:34-41``).
+        """
+        attempt = uuid.uuid4().hex[:12]
+        rel_dir = os.path.join("data", f"commit-{attempt}")
+        out_dir = os.path.join(self.root, rel_dir)
+        (
+            df.write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(out_dir)
+        )
+        entries = []
+        for b in buckets_touched:
+            bdir = os.path.join(out_dir, f"_bucket={b}")
+            if not os.path.isdir(bdir):
+                continue  # bucket ended up empty (all rows deleted)
+            for fn in os.listdir(bdir):
+                if fn.endswith(".parquet"):
+                    entries.append(
+                        {
+                            "path": os.path.join(rel_dir, f"_bucket={b}", fn),
+                            "bucket": b,
+                        }
+                    )
+        return entries
+
+    def commit(
+        self,
+        epoch: int,
+        replaced_buckets: list[int],
+        new_files: list[dict],
+        bucket_max_lsn: dict[int, int],
+        rows_applied: int = 0,
+        props: dict | None = None,
+    ) -> Snapshot | None:
+        """Publish a new snapshot replacing ``replaced_buckets``' files.
+
+        Idempotent: if every (epoch, bucket) unit is already fenced, the
+        call is a no-op returning None (replay safety). Atomicity: the
+        VERSION pointer swap is a single ``os.replace``.
+        """
+        snap = self.current()
+        units = [f"{epoch}:{b}" for b in replaced_buckets]
+        if units and all(u in snap.fences for u in units):
+            return None  # already applied — exactly-once fence
+        replaced = set(replaced_buckets)
+        keep = [f for f in snap.files if f["bucket"] not in replaced]
+        fences = dict(snap.fences)
+        watermark = dict(snap.watermark)
+        for b in replaced_buckets:
+            ml = int(bucket_max_lsn.get(b, watermark.get(str(b), -1)))
+            fences[f"{epoch}:{b}"] = {"max_lsn": ml}
+            watermark[str(b)] = max(int(watermark.get(str(b), -1)), ml)
+        new_snap = Snapshot(
+            version=snap.version + 1,
+            schema=snap.schema,
+            key_column=snap.key_column,
+            num_buckets=snap.num_buckets,
+            files=keep + new_files,
+            fences=fences,
+            watermark=watermark,
+            parent=snap.version,
+            committed_at=time.time(),
+            props={**snap.props, **(props or {}), "rows_applied": rows_applied},
+        )
+        self._write_snapshot(new_snap)
+        return new_snap
+
+    def evolve_schema(
+        self,
+        add_columns: list[tuple[str, str]] | None = None,
+        widen: dict[str, str] | None = None,
+    ) -> Snapshot:
+        """Metadata-only DDL: publish a snapshot with the evolved schema.
+
+        No data files are touched; readers reconcile at scan time.
+        """
+        snap = self.current()
+        new_schema = snap.schema.evolved(add_columns=add_columns, widen=widen)
+        new_snap = Snapshot(
+            version=snap.version + 1,
+            schema=new_schema,
+            key_column=snap.key_column,
+            num_buckets=snap.num_buckets,
+            files=snap.files,
+            fences=snap.fences,
+            watermark=snap.watermark,
+            parent=snap.version,
+            committed_at=time.time(),
+            props=snap.props,
+        )
+        self._write_snapshot(new_snap)
+        return new_snap
+
+    def _write_snapshot(self, snap: Snapshot) -> None:
+        md = os.path.join(self.root, "metadata")
+        name = f"snapshot-{snap.version:08d}.json"
+        path = os.path.join(md, name)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap.to_json(), f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        vtmp = os.path.join(md, VERSION_FILE + ".tmp")
+        with open(vtmp, "w") as f:
+            f.write(name)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(vtmp, os.path.join(md, VERSION_FILE))

@@ -1,0 +1,172 @@
+"""End-to-end CDC replay vs the naive pandas oracle (SURVEY.md §5):
+golden final state w/ exact token-array equality, idempotent replay,
+crash/resume, skew, DQ gate, schema evolution mid-stream."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from e_commerce_batch_etl_pipeline_spark.sources.datagen import (
+    generate_base_docs,
+    generate_wal_epoch,
+    write_wal,
+)
+from e_commerce_batch_etl_pipeline_spark.sources.wal import WalSource
+from e_commerce_batch_etl_pipeline_spark.streaming.bootstrap import bootstrap_table
+from e_commerce_batch_etl_pipeline_spark.streaming.microbatch import CdcEngine
+from e_commerce_batch_etl_pipeline_spark.tables.format import LakeTable
+
+from .oracle import assert_states_equal, replay
+
+BASE_N = 800
+EPOCHS = 4
+CHANGES = 600
+
+
+def _collect_state(df, payload_cols):
+    return {
+        r["doc_id"]: {c: r[c] for c in payload_cols}
+        for r in df.collect()
+    }
+
+
+def _setup(spark, root, **wal_kwargs):
+    base = generate_base_docs(spark, BASE_N, seed=42, max_len=32)
+    table = bootstrap_table(os.path.join(root, "table"), base, num_buckets=4)
+    wal_root = os.path.join(root, "wal")
+    write_wal(spark, wal_root, EPOCHS, CHANGES, BASE_N, seed=42,
+              max_len=32, **wal_kwargs)
+    return table, WalSource(wal_root), base
+
+
+def _oracle_state(base, wal, spark, payload_cols):
+    base_rows = [r.asDict() for r in base.collect()]
+    env_rows = []
+    for e in wal.epochs():
+        env_rows += [r.asDict() for r in wal.read_epoch(spark, e).collect()]
+    return replay(base_rows, env_rows, payload_cols)
+
+
+def test_golden_final_state(spark, tmpdir_clean):
+    table, wal, base = _setup(spark, tmpdir_clean)
+    eng = CdcEngine(spark, table, wal, os.path.join(tmpdir_clean, "ckpt"))
+    results = eng.run()
+    assert all(r.status == "committed" for r in results)
+    payload = ["tokens", "n_tok", "source"]
+    expected = _oracle_state(base, wal, spark, payload)
+    actual = _collect_state(table.read(spark), payload)
+    assert_states_equal(expected, actual)
+
+
+def test_replay_idempotent(spark, tmpdir_clean):
+    table, wal, base = _setup(spark, tmpdir_clean)
+    CdcEngine(spark, table, wal, os.path.join(tmpdir_clean, "c1")).run()
+    v = table.current().version
+    state1 = _collect_state(table.read(spark), ["tokens", "n_tok", "source"])
+    # full replay with a fresh checkpoint — every epoch must be fenced out
+    res = CdcEngine(spark, table, wal, os.path.join(tmpdir_clean, "c2")).run()
+    assert all(r.status == "skipped" for r in res)
+    assert table.current().version == v
+    state2 = _collect_state(table.read(spark), ["tokens", "n_tok", "source"])
+    assert_states_equal(state1, state2)
+
+
+def test_resume_from_checkpoint(spark, tmpdir_clean):
+    table, wal, base = _setup(spark, tmpdir_clean)
+    ckpt = os.path.join(tmpdir_clean, "ckpt")
+    eng = CdcEngine(spark, table, wal, ckpt)
+    eng.run(max_epochs=2)  # "crash" after 2 epochs
+    assert eng.last_committed_epoch() == 1
+    # new process resumes from checkpoint
+    eng2 = CdcEngine(spark, LakeTable(table.root), wal, ckpt)
+    res = eng2.run()
+    assert [r.epoch for r in res] == [2, 3]
+    payload = ["tokens", "n_tok", "source"]
+    expected = _oracle_state(base, wal, spark, payload)
+    assert_states_equal(expected, _collect_state(table.read(spark), payload))
+
+
+def test_crash_between_publish_and_checkpoint(spark, tmpdir_clean):
+    # worst-case crash window: snapshot published, checkpoint not written.
+    # rerunning the epoch must be a fence no-op with identical state.
+    table, wal, base = _setup(spark, tmpdir_clean)
+    ckpt = os.path.join(tmpdir_clean, "ckpt")
+    eng = CdcEngine(spark, table, wal, ckpt)
+    eng.apply_epoch(0)  # committed, but checkpoint.json never written
+    assert eng.last_committed_epoch() == -1
+    v = table.current().version
+    res = eng.run()  # re-delivers epoch 0, then 1..3
+    assert res[0].epoch == 0 and res[0].status == "skipped"
+    payload = ["tokens", "n_tok", "source"]
+    expected = _oracle_state(base, wal, spark, payload)
+    assert_states_equal(expected, _collect_state(table.read(spark), payload))
+
+
+def test_skewed_hot_keys(spark, tmpdir_clean):
+    table, wal, base = _setup(
+        spark, tmpdir_clean, num_hot_keys=1, hot_key_frac=0.5
+    )
+    eng = CdcEngine(spark, table, wal, os.path.join(tmpdir_clean, "ckpt"),
+                    salted=True, num_salts=8)
+    eng.run()
+    payload = ["tokens", "n_tok", "source"]
+    expected = _oracle_state(base, wal, spark, payload)
+    assert_states_equal(expected, _collect_state(table.read(spark), payload))
+
+
+def test_schema_evolution_mid_stream(spark, tmpdir_clean):
+    table, wal, base = _setup(spark, tmpdir_clean, evolve_from_epoch=2)
+    eng = CdcEngine(spark, table, wal, os.path.join(tmpdir_clean, "ckpt"))
+    eng.run()
+    snap = table.current()
+    assert ("lang", "string", True) in snap.schema.fields
+    payload = ["tokens", "n_tok", "source", "lang"]
+    expected = _oracle_state(base, wal, spark, payload)
+    actual = _collect_state(table.read(spark), payload)
+    assert_states_equal(expected, actual)
+    # rows never touched after evolution read as NULL lang
+    df = table.read(spark)
+    assert df.filter(F.col("lang").isNull()).count() > 0
+
+
+def test_quarantine_and_lineage(spark, tmpdir_clean):
+    table, wal, base = _setup(spark, tmpdir_clean, invalid_frac=0.05)
+    ckpt = os.path.join(tmpdir_clean, "ckpt")
+    eng = CdcEngine(spark, table, wal, ckpt)
+    results = eng.run()
+    assert sum(r.conflicts for r in results) > 0
+    # quarantined envelopes persisted for audit
+    qdir = os.path.join(ckpt, "quarantine", "epoch-00000")
+    assert spark.read.parquet(qdir).count() == results[0].conflicts
+    # lineage: per-partition offset ranges + rows applied
+    lin = json.load(open(os.path.join(ckpt, "lineage", "epoch-00000.json")))
+    assert lin["rows_applied"] == results[0].rows_applied
+    assert all({"bucket", "lsn_max", "rows_applied"} <= set(p) for p in lin["partitions"])
+    # correctness unaffected by quarantining
+    payload = ["tokens", "n_tok", "source"]
+    expected = _oracle_state(base, wal, spark, payload)
+    assert_states_equal(expected, _collect_state(table.read(spark), payload))
+
+
+def test_dq_gate_aborts_before_commit(spark, tmpdir_clean, monkeypatch):
+    table, wal, base = _setup(spark, tmpdir_clean)
+    eng = CdcEngine(spark, table, wal, os.path.join(tmpdir_clean, "ckpt"))
+    v0 = table.current().version
+    state0 = _collect_state(table.read(spark), ["tokens", "n_tok", "source"])
+
+    # sabotage the n_tok recompute so the DQ gate must fire
+    import e_commerce_batch_etl_pipeline_spark.streaming.microbatch as mb
+
+    monkeypatch.setattr(
+        mb, "recompute_n_tok",
+        lambda df: df.withColumn("n_tok", F.lit(1).cast("int")),
+    )
+    with pytest.raises(RuntimeError, match="DQ FAIL"):
+        eng.apply_epoch(0)
+    # table state unchanged — abort happened before publish
+    assert table.current().version == v0
+    assert_states_equal(
+        state0, _collect_state(table.read(spark), ["tokens", "n_tok", "source"])
+    )

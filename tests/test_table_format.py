@@ -1,0 +1,114 @@
+"""Table layer: snapshot isolation, atomic commit, fencing, evolution,
+file pruning, time travel."""
+
+import os
+
+import pytest
+
+from e_commerce_batch_etl_pipeline_spark.sources.datagen import generate_base_docs
+from e_commerce_batch_etl_pipeline_spark.streaming.bootstrap import (
+    DOCS_SCHEMA,
+    bootstrap_table,
+)
+from e_commerce_batch_etl_pipeline_spark.tables.format import (
+    LakeTable,
+    TableSchema,
+    bucket_expr,
+)
+
+
+@pytest.fixture()
+def table(spark, tmpdir_clean):
+    base = generate_base_docs(spark, 500, seed=42, max_len=32)
+    return bootstrap_table(
+        os.path.join(tmpdir_clean, "t"), base, num_buckets=4
+    )
+
+
+def test_bootstrap_and_read(spark, table):
+    df = table.read(spark)
+    assert df.count() == 500
+    assert set(df.columns) == {"doc_id", "tokens", "n_tok", "source"}
+
+
+def test_bootstrap_idempotent(spark, table):
+    base2 = generate_base_docs(spark, 500, seed=42, max_len=32)
+    t2 = bootstrap_table(table.root, base2, num_buckets=4)
+    assert t2.current().version == table.current().version
+    assert t2.read(spark).count() == 500
+
+
+def test_file_pruning_reads_only_touched_buckets(spark, table):
+    snap = table.current()
+    df0 = table.read(spark, buckets=[0])
+    # every row in bucket 0 must hash there
+    got = df0.withColumn("_b", bucket_expr("doc_id", snap.num_buckets))
+    assert got.filter("_b <> 0").count() == 0
+    n_all = table.read(spark).count()
+    n_by_bucket = sum(
+        table.read(spark, buckets=[b]).count() for b in range(snap.num_buckets)
+    )
+    assert n_all == n_by_bucket
+    # pruned read touches strictly fewer files
+    files0 = [f for f in snap.files if f["bucket"] == 0]
+    assert 0 < len(files0) < len(snap.files)
+
+
+def test_commit_fencing_idempotent(spark, table):
+    snap = table.current()
+    v = snap.version
+    # replaying the bootstrap epoch (-1) is a no-op
+    out = table.commit(
+        epoch=-1, replaced_buckets=list(range(snap.num_buckets)),
+        new_files=[], bucket_max_lsn={},
+    )
+    assert out is None
+    assert table.current().version == v
+
+
+def test_schema_evolution_metadata_only(spark, table):
+    files_before = {f["path"] for f in table.current().files}
+    table.evolve_schema(add_columns=[("lang", "string")])
+    snap = table.current()
+    assert snap.schema.schema_version == 1
+    assert ("lang", "string", True) in snap.schema.fields
+    assert {f["path"] for f in snap.files} == files_before  # no rewrite
+    df = table.read(spark)
+    assert "lang" in df.columns
+    assert df.filter("lang is not null").count() == 0
+
+
+def test_type_widening(spark, table):
+    table.evolve_schema(widen={"n_tok": "bigint"})
+    df = table.read(spark)
+    assert dict(df.dtypes)["n_tok"] == "bigint"
+    assert df.filter("n_tok is null").count() == 0
+
+
+def test_illegal_evolution_rejected(table):
+    with pytest.raises(ValueError):
+        table.evolve_schema(widen={"n_tok": "smallint"})  # narrowing
+    with pytest.raises(ValueError):
+        table.evolve_schema(add_columns=[("doc_id", "string")])  # dup
+
+
+def test_time_travel(spark, table):
+    v0 = table.current().version
+    table.evolve_schema(add_columns=[("extra", "int")])
+    old = table.snapshot_at(v0)
+    df_old = table.read(spark, snapshot=old)
+    assert "extra" not in df_old.columns
+    assert "extra" in table.read(spark).columns
+    assert table.history() == list(range(table.current().version + 1))
+
+
+def test_orphan_files_invisible(spark, table, tmpdir_clean):
+    # a crashed commit attempt leaves staged files no manifest references
+    import pyspark.sql.functions as F
+
+    staged = (
+        generate_base_docs(spark, 50, seed=1, max_len=8)
+        .withColumn("_bucket", bucket_expr("doc_id", 4))
+    )
+    table.write_data_files(staged, [0, 1, 2, 3])  # staged, never committed
+    assert table.read(spark).count() == 500  # unchanged
