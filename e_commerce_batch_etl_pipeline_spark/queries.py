@@ -1,0 +1,675 @@
+"""Driver-facing query inventory: every operator from SURVEY.md §2 as a
+(spark_query, oracle_sql) pair over the /root/testdata parquet tables.
+
+Each Spark callable takes ``(spark, sf_dir)`` and returns a DataFrame whose
+column names + values match the DuckDB oracle exactly (aliases identical on
+both sides; doubles rounded; timestamps exported as epoch seconds so
+Spark's UTC session and DuckDB's naive timestamps agree).
+
+Portability rules used throughout:
+- money/double aggregates rounded to 2dp on both sides
+- timestamps → ``unix_timestamp`` (Spark) vs ``epoch(...)::BIGINT`` (DuckDB)
+- deterministic ordering: every ORDER BY ends in a unique key
+- md5-derived integers for hashing: Spark ``conv(substring(md5(x),1,15),16,10)``
+  == DuckDB ``('0x' || substr(md5(x),1,15))::BIGINT``
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .operators.lww import lww_dedup
+from .operators.merge import merge_upsert
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# =====================================================================
+# Reference-ETL analogs (SURVEY.md §2.3/2.6/2.8 — transform semantics of
+# src/transform.py + notebooks/06 re-expressed over the TPC-H-ish tables)
+# =====================================================================
+
+
+def q1_pricing_summary(spark, sf_dir):
+    """A2 hash-aggregate w/ multiple functions (notebooks/06:276-287)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+            .alias("sum_base_price_cents"),
+            # exact integer arithmetic: cents * (100 - pct) — no float
+            # rounding of derived products (engines disagree at half-cent)
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
+            ).alias("sum_disc_price_milli"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                         AS sum_qty,
+       sum(round(l_extendedprice * 100, 0)::BIGINT)      AS sum_base_price_cents,
+       sum(round(l_extendedprice * 100, 0)::BIGINT
+           * (100 - round(l_discount * 100, 0)::BIGINT))       AS sum_disc_price_milli,
+       round(avg(l_quantity), 2)                         AS avg_qty,
+       count(*)                                          AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def etl_clean_filter(spark, sf_dir):
+    """P6 compound business-rule filter + P3 derived col + P9 CASE bucket
+    (src/transform.py:90-141)."""
+    li = _t(spark, sf_dir, "lineitem")
+    # exact integer money: qty * price_cents * (100 - disc_pct) in
+    # 1/10000-dollar units — float-free, so Spark and any oracle agree
+    total_milli = (
+        F.col("l_quantity").cast("long")
+        * F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
+    )
+    bucket = (
+        F.when(total_milli < 1000 * 10000, "low")
+        .when(total_milli < 10000 * 10000, "mid")
+        .when(total_milli < 100000 * 10000, "high")
+        .otherwise("very_high")
+    )
+    return (
+        li.filter(
+            (F.col("l_quantity") > 0)
+            & (F.col("l_extendedprice") > 0)
+            & F.col("l_returnflag").isNotNull()
+        )
+        .withColumn("total_milli", total_milli)
+        .withColumn("amount_bucket", bucket)
+        .groupBy("amount_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("total_milli").alias("sum_total_milli"),
+        )
+        .orderBy("amount_bucket")
+    )
+
+
+ORACLE_CLEAN_FILTER = """
+WITH c AS (
+  SELECT l_quantity::BIGINT
+         * round(l_extendedprice * 100, 0)::BIGINT
+         * (100 - round(l_discount * 100, 0)::BIGINT) AS total_milli
+  FROM lineitem
+  WHERE l_quantity > 0 AND l_extendedprice > 0 AND l_returnflag IS NOT NULL
+)
+SELECT CASE WHEN total_milli < 1000 * 10000 THEN 'low'
+            WHEN total_milli < 10000 * 10000 THEN 'mid'
+            WHEN total_milli < 100000 * 10000 THEN 'high'
+            ELSE 'very_high' END AS amount_bucket,
+       count(*) AS n,
+       sum(total_milli) AS sum_total_milli
+FROM c GROUP BY 1 ORDER BY amount_bucket
+"""
+
+
+def etl_dedup_lww(spark, sf_dir):
+    """D1 dedup made deterministic: latest lineitem per order by
+    (shipdate, linenumber) via max_by — the reference's dropDuplicates
+    (src/transform.py:73-87) with a defined winner."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity", "l_shipdate"
+    )
+    # total order: testdata carries duplicate (orderkey, linenumber)
+    # rows, so the tiebreak must extend through the whole payload
+    w = li.groupBy("l_orderkey").agg(
+        F.max_by(
+            F.struct("l_partkey", "l_linenumber", "l_quantity"),
+            F.struct("l_shipdate", "l_linenumber", "l_partkey", "l_quantity"),
+        ).alias("_w"),
+        F.max(F.unix_timestamp("l_shipdate")).alias("last_ship_epoch"),
+    )
+    return w.select(
+        "l_orderkey",
+        F.col("_w.l_partkey").alias("l_partkey"),
+        F.col("_w.l_linenumber").alias("l_linenumber"),
+        F.col("_w.l_quantity").alias("l_quantity"),
+        "last_ship_epoch",
+    ).orderBy("l_orderkey")
+
+
+ORACLE_DEDUP_LWW = """
+WITH r AS (
+  SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_shipdate DESC, l_linenumber DESC,
+                                     l_partkey DESC, l_quantity DESC) AS rn,
+         max(floor(epoch(l_shipdate))::BIGINT) OVER (PARTITION BY l_orderkey) AS last_ship_epoch
+  FROM lineitem
+)
+SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, last_ship_epoch
+FROM r WHERE rn = 1 ORDER BY l_orderkey
+"""
+
+
+def etl_broadcast_enrich(spark, sf_dir):
+    """J1 broadcast left join enrich (src/pipeline.py:61-99): revenue per
+    region through customer→nation→region dims, dims broadcast."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey, "left")
+        .na.fill({"r_name": "Other"})
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .alias("revenue_cents"),
+        )
+        .orderBy("r_name")
+    )
+
+
+ORACLE_BROADCAST_ENRICH = """
+SELECT coalesce(r_name, 'Other') AS r_name,
+       count(*) AS n_orders,
+       sum(round(o_totalprice * 100, 0)::BIGINT) AS revenue_cents
+FROM orders
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation   ON c_nationkey = n_nationkey
+LEFT JOIN region   ON n_regionkey = r_regionkey
+GROUP BY 1 ORDER BY r_name
+"""
+
+
+def etl_price_bucket(spark, sf_dir):
+    """P9 5-way CASE bucket (src/transform.py:133-140 price_bucket)."""
+    part = _t(spark, sf_dir, "part")
+    b = (
+        F.when(F.col("p_retailprice") < 500, "budget")
+        .when(F.col("p_retailprice") < 1000, "standard")
+        .when(F.col("p_retailprice") < 1500, "premium")
+        .when(F.col("p_retailprice") < 2000, "luxury")
+        .otherwise("ultra")
+    )
+    return (
+        part.withColumn("price_bucket", b)
+        .groupBy("price_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("p_retailprice"), 2).alias("min_price"),
+            F.round(F.max("p_retailprice"), 2).alias("max_price"),
+        )
+        .orderBy("price_bucket")
+    )
+
+
+ORACLE_PRICE_BUCKET = """
+SELECT CASE WHEN p_retailprice < 500 THEN 'budget'
+            WHEN p_retailprice < 1000 THEN 'standard'
+            WHEN p_retailprice < 1500 THEN 'premium'
+            WHEN p_retailprice < 2000 THEN 'luxury'
+            ELSE 'ultra' END AS price_bucket,
+       count(*) AS n,
+       round(min(p_retailprice), 2) AS min_price,
+       round(max(p_retailprice), 2) AS max_price
+FROM part GROUP BY 1 ORDER BY price_bucket
+"""
+
+
+def etl_null_handling(spark, sf_dir):
+    """P8 fillna/coalesce defaults (src/transform.py:62-65 GUEST fill,
+    src/pipeline.py:96 region fill)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.na.fill({"lang": "unknown", "source": "unknown"})
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("null_texts"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+ORACLE_NULL_HANDLING = """
+SELECT coalesce(lang, 'unknown') AS lang,
+       coalesce(source, 'unknown') AS source,
+       count(*) AS n,
+       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_texts
+FROM documents GROUP BY 1, 2 ORDER BY lang, source
+"""
+
+
+def etl_date_derived(spark, sf_dir):
+    """§2.9 date extraction (src/transform.py:128-130 year/month/day)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_year", F.year("o_orderdate"))
+        .withColumn("order_month", F.month("o_orderdate"))
+        .groupBy("order_year", "order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .alias("revenue_cents"),
+        )
+        .orderBy("order_year", "order_month")
+    )
+
+
+ORACLE_DATE_DERIVED = """
+SELECT year(o_orderdate) AS order_year, month(o_orderdate) AS order_month,
+       count(*) AS n_orders, sum(round(o_totalprice * 100, 0)::BIGINT) AS revenue_cents
+FROM orders GROUP BY 1, 2 ORDER BY order_year, order_month
+"""
+
+
+def etl_conditional_agg(spark, sf_dir):
+    """A3 SUM(CASE WHEN …) pivot-style (notebooks/03:493-502)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).alias("n_high"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .alias("sum_value_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_CONDITIONAL_AGG = """
+SELECT event_type, count(*) AS n,
+       sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS n_high,
+       sum(round(value * 100, 0)::BIGINT) AS sum_value_cents
+FROM events GROUP BY 1 ORDER BY event_type
+"""
+
+
+def etl_topk(spark, sf_dir):
+    """O1/O2 multi-key sort + limit (notebooks/06:287): top-10 customers
+    by revenue, deterministic tiebreak on key."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("o_custkey", "c_name", "revenue_cents", "n_orders")
+        .orderBy(F.col("revenue_cents").desc(), F.col("o_custkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_TOPK = """
+SELECT o_custkey, c_name,
+       sum(round(o_totalprice * 100, 0)::BIGINT) AS revenue_cents,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey, c_name
+ORDER BY revenue_cents DESC, o_custkey ASC
+LIMIT 10
+"""
+
+
+def etl_dq_null_counts(spark, sf_dir):
+    """A4 single-pass multi-column null count (notebooks/02:52-56) — the
+    efficient 1-job pattern vs the reference's N-job loop
+    (src/quality_checks.py:45-46)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.count(F.lit(1)).alias("total_rows"),
+        *[
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nulls_{c}")
+            for c in ["doc_id", "text", "lang", "source", "n_chars"]
+        ],
+    )
+
+
+ORACLE_DQ_NULL_COUNTS = """
+SELECT count(*) AS total_rows,
+       sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS nulls_doc_id,
+       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS nulls_text,
+       sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS nulls_lang,
+       sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS nulls_source,
+       sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS nulls_n_chars
+FROM documents
+"""
+
+
+def etl_cast_rename_project(spark, sf_dir):
+    """P1/P2/P5 rename + schema-pinning select + casts
+    (src/transform.py:10-47, src/load.py:60-67)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumnRenamed("event_id", "id")
+        .withColumn("value_cents", F.round(F.col("value") * 100, 0).cast("long"))
+        .withColumn("kind", F.upper(F.col("event_type")))
+        .withColumn("ts_epoch", F.unix_timestamp("ts"))
+        .select("id", "user_id", "kind", "value_cents", "ts_epoch")
+        .orderBy("id")
+    )
+
+
+ORACLE_CAST_RENAME = """
+SELECT event_id AS id, user_id, upper(event_type) AS kind,
+       round(value * 100, 0)::BIGINT AS value_cents,
+       floor(epoch(ts))::BIGINT AS ts_epoch
+FROM events ORDER BY id
+"""
+
+
+# =====================================================================
+# CDC operators over the events table (lsn := event_id, key := user_id,
+# op := signup→I / error→D / else U) — SQL-checkable LWW + MERGE
+# =====================================================================
+
+_OP_MAP = {"signup": "I", "error": "D"}
+
+
+def _events_as_envelopes(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+    return ev.select(
+        F.col("event_id").alias("lsn"),
+        op.alias("op"),
+        F.col("user_id").alias("doc_id"),
+        F.col("event_type"),
+        F.round(F.col("value"), 2).alias("value"),
+    )
+
+
+_ENV_SQL = """
+  SELECT event_id AS lsn,
+         CASE WHEN event_type = 'signup' THEN 'I'
+              WHEN event_type = 'error' THEN 'D'
+              ELSE 'U' END AS op,
+         user_id AS doc_id, event_type, round(value, 2) AS value
+  FROM events
+"""
+
+
+def cdc_lww_latest(spark, sf_dir):
+    """The engine's LWW dedup (operators/lww.py) over a real change
+    stream: final state per key = max-lsn envelope; deletes drop the key."""
+    env = _events_as_envelopes(spark, sf_dir)
+    latest = lww_dedup(env, key="doc_id", order="lsn")
+    return (
+        latest.filter(F.col("op") != "D")
+        .select("doc_id", "lsn", "op", "event_type", "value")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CDC_LWW = f"""
+WITH env AS ({_ENV_SQL}),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+  FROM env
+)
+SELECT doc_id, lsn, op, event_type, value
+FROM r WHERE rn = 1 AND op <> 'D' ORDER BY doc_id
+"""
+
+
+def cdc_merge_upsert(spark, sf_dir):
+    """The engine's MERGE operator (operators/merge.py): base = LWW state
+    of the stream's first half, changes = LWW of the second half, merged
+    via anti-join+union. Must equal the global LWW state — which is what
+    the oracle computes (an algebraic identity that pins the operator's
+    semantics)."""
+    env = _events_as_envelopes(spark, sf_dir)
+    n = env.agg(F.max("lsn")).collect()[0][0] + 1
+    half = n // 2
+    first = env.filter(F.col("lsn") < half)
+    second = env.filter(F.col("lsn") >= half)
+    base = (
+        lww_dedup(first, key="doc_id", order="lsn")
+        .filter(F.col("op") != "D")
+        .select("doc_id", "event_type", "value")
+    )
+    changes = lww_dedup(second, key="doc_id", order="lsn")
+    merged = merge_upsert(base, changes, key="doc_id")
+    return merged.select("doc_id", "event_type", "value").orderBy("doc_id")
+
+
+ORACLE_CDC_MERGE = f"""
+WITH env AS ({_ENV_SQL}),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+  FROM env
+)
+SELECT doc_id, event_type, value
+FROM r WHERE rn = 1 AND op <> 'D' ORDER BY doc_id
+"""
+
+
+def cdc_replay_engine(spark, sf_dir):
+    """FLAGSHIP: the full engine (table format + epoch loop + fences)
+    replaying a 4-epoch WAL derived from the events table into a fresh
+    lake table; returns the committed final state. The oracle computes
+    the same final state as one SQL LWW — so the whole
+    validate→dedup→merge→commit stack is oracle-checked."""
+    import tempfile
+
+    from .sources.wal import WalSource
+    from .streaming.bootstrap import bootstrap_table
+    from .streaming.microbatch import CdcEngine
+    from .tables.format import TableSchema
+
+    env = _events_as_envelopes(spark, sf_dir)
+    n = env.agg(F.max("lsn")).collect()[0][0] + 1
+    seg = max(1, (n + 3) // 4)
+    envelopes = env.select(
+        "lsn",
+        (F.col("lsn") / seg).cast("int").alias("epoch"),
+        "op",
+        F.format_string("u%09d", F.col("doc_id")).alias("doc_id"),
+        F.when(F.col("op") == "D", F.lit(None))
+        .otherwise(F.array(F.pmod(F.col("lsn"), F.lit(50257)).cast("int")))
+        .alias("tokens"),
+        F.lit(None).cast("int").alias("n_tok"),  # engine recomputes
+        F.when(F.col("op") == "D", F.lit(None))
+        .otherwise(F.col("event_type"))
+        .alias("source"),
+        F.timestamp_seconds(F.col("lsn")).alias("ts"),
+    )
+    root = tempfile.mkdtemp(prefix="cdc_replay_q_")
+    wal_root = os.path.join(root, "wal")
+    for e in range(4):
+        envelopes.filter(F.col("epoch") == e).write.mode("overwrite").parquet(
+            os.path.join(wal_root, f"epoch-{e:05d}")
+        )
+    schema = TableSchema(
+        fields=[
+            ("doc_id", "string", False),
+            ("tokens", "array<int>", True),
+            ("n_tok", "int", True),
+            ("source", "string", True),
+        ]
+    )
+    empty = spark.createDataFrame([], schema.to_struct())
+    table = bootstrap_table(os.path.join(root, "table"), empty, num_buckets=8)
+    engine = CdcEngine(
+        spark, table, WalSource(wal_root), os.path.join(root, "ckpt")
+    )
+    engine.run()
+    final = table.read(spark)
+    return final.select(
+        "doc_id",
+        "n_tok",
+        F.element_at("tokens", 1).alias("tok0"),
+        "source",
+    ).orderBy("doc_id")
+
+
+ORACLE_CDC_REPLAY = f"""
+WITH env AS ({_ENV_SQL}),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+  FROM env
+)
+SELECT printf('u%09d', doc_id) AS doc_id,
+       1 AS n_tok,
+       (lsn % 50257)::INT AS tok0,
+       event_type AS source
+FROM r WHERE rn = 1 AND op <> 'D' ORDER BY doc_id
+"""
+
+
+# =====================================================================
+# Window / sessionization / streaming-shaped aggregation (§2.7, §2.10 —
+# absent in the reference, required by the engine's test surface)
+# =====================================================================
+
+
+def window_running_sum(spark, sf_dir):
+    """Running per-user sum (window frame) — the §2.7 gap made real."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        ev.withColumn("running_cents", F.sum(cents).over(w))
+        .select("event_id", "user_id", "running_cents")
+        .orderBy("event_id")
+    )
+
+
+ORACLE_RUNNING_SUM = """
+SELECT event_id, user_id,
+       sum(round(value * 100, 0)::BIGINT)
+         OVER (PARTITION BY user_id ORDER BY event_id) AS running_cents
+FROM events ORDER BY event_id
+"""
+
+
+def sessionize(spark, sf_dir):
+    """Sessionization: gap > 30 min starts a new session (lag + cumsum)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts"), 1).over(w)
+    flagged = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id,
+         floor(epoch(ts)) - lag(floor(epoch(ts))) OVER (PARTITION BY user_id ORDER BY event_id) AS gap
+  FROM events
+)
+SELECT user_id,
+       sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
+def tumbling_window_agg(spark, sf_dir):
+    """Tumbling 1-hour event-time windows (Structured-Streaming-shaped agg
+    run on the batch table; window start exported as epoch seconds)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sum_value_cents"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value_cents",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+ORACLE_TUMBLING = """
+SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS window_start,
+       event_type, count(*) AS n,
+       sum(round(value * 100, 0)::BIGINT) AS sum_value_cents
+FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+"""
+
+
+# =====================================================================
+# registry
+# =====================================================================
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "etl_clean_filter": etl_clean_filter,
+    "etl_dedup_lww": etl_dedup_lww,
+    "etl_broadcast_enrich": etl_broadcast_enrich,
+    "etl_price_bucket": etl_price_bucket,
+    "etl_null_handling": etl_null_handling,
+    "etl_date_derived": etl_date_derived,
+    "etl_conditional_agg": etl_conditional_agg,
+    "etl_topk": etl_topk,
+    "etl_dq_null_counts": etl_dq_null_counts,
+    "etl_cast_rename_project": etl_cast_rename_project,
+    "cdc_lww_latest": cdc_lww_latest,
+    "cdc_merge_upsert": cdc_merge_upsert,
+    "cdc_replay_engine": cdc_replay_engine,
+    "window_running_sum": window_running_sum,
+    "sessionize": sessionize,
+    "tumbling_window_agg": tumbling_window_agg,
+}
+
+ORACLES = {
+    "q1_pricing_summary": ORACLE_Q1,
+    "etl_clean_filter": ORACLE_CLEAN_FILTER,
+    "etl_dedup_lww": ORACLE_DEDUP_LWW,
+    "etl_broadcast_enrich": ORACLE_BROADCAST_ENRICH,
+    "etl_price_bucket": ORACLE_PRICE_BUCKET,
+    "etl_null_handling": ORACLE_NULL_HANDLING,
+    "etl_date_derived": ORACLE_DATE_DERIVED,
+    "etl_conditional_agg": ORACLE_CONDITIONAL_AGG,
+    "etl_topk": ORACLE_TOPK,
+    "etl_dq_null_counts": ORACLE_DQ_NULL_COUNTS,
+    "etl_cast_rename_project": ORACLE_CAST_RENAME,
+    "cdc_lww_latest": ORACLE_CDC_LWW,
+    "cdc_merge_upsert": ORACLE_CDC_MERGE,
+    "cdc_replay_engine": ORACLE_CDC_REPLAY,
+    "window_running_sum": ORACLE_RUNNING_SUM,
+    "sessionize": ORACLE_SESSIONIZE,
+    "tumbling_window_agg": ORACLE_TUMBLING,
+}
