@@ -1,0 +1,179 @@
+"""Deduplication family for training-data pipelines (SURVEY.md build-plan
+extension): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All hashing is md5-derived (``conv(substr(md5(x),1,15),16,10)``) so results
+are portable bit-for-bit to any engine with md5 — the correctness oracles
+recompute identical signatures in SQL. All heavy paths are pure Catalyst
+expressions over exploded word/shingle sets: distributed, shuffle-on-key,
+no Python in the loop.
+
+Scale notes (100 TB corpus):
+- exact dedup = one hash-aggregate on the fingerprint (map-side partial).
+- MinHash: signature computation is embarrassingly parallel (per-row
+  array_min over a transform — no shuffle); LSH banding turns the O(n²)
+  pair problem into groupBy(band_hash) — pairs only materialize inside a
+  bucket. Band count/row trade recall vs cost as usual.
+- n-gram Jaccard is the verify step run only on LSH candidates at scale;
+  the all-pairs variant here is for small-table correctness checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def md5int(col, salt: str | None = None):
+    """Portable 60-bit integer hash (== DuckDB ('0x'||substr(md5(x),1,15))::BIGINT)."""
+    c = F.concat(F.lit(f"{salt}:"), col) if salt is not None else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def words_expr(text_col):
+    """Distinct whitespace tokens of a trimmed text column."""
+    return F.array_distinct(F.split(F.trim(text_col), r"\s+"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                out: str = "fingerprint") -> DataFrame:
+    """Exact-dup fingerprint: md5 of normalized text (lower+trim)."""
+    return df.withColumn(out, F.md5(F.lower(F.trim(F.col(text_col)))))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                key: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct normalized text (min key wins)."""
+    fp = fingerprint(df, text_col)
+    w = fp.groupBy("fingerprint").agg(
+        F.min(key).alias(key), F.count(F.lit(1)).alias("dup_count")
+    )
+    return w
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       key: str = "doc_id", k: int = 8) -> DataFrame:
+    """k-permutation MinHash over distinct word shingles.
+
+    mh_j = min over words of md5int(j || ':' || word). Per-row only —
+    no shuffle; at 100 TB this is a map-only stage.
+    """
+    ws = words_expr(F.col(text_col))
+
+    def mh(j: int):
+        # single-arg lambda: F.transform treats a 2-arg lambda as
+        # (element, index) — a default-arg closure would receive the index
+        salt = str(j)
+        return F.array_min(F.transform(ws, lambda w: md5int(w, salt=salt)))
+
+    return df.select(F.col(key), *[mh(j).alias(f"mh_{j}") for j in range(k)])
+
+
+def minhash_lsh_buckets(df: DataFrame, text_col: str = "text",
+                        key: str = "doc_id", k: int = 8,
+                        bands: int = 4) -> DataFrame:
+    """LSH banding: hash each band of the signature; docs sharing a
+    (band_id, band_hash) are near-dup candidates."""
+    assert k % bands == 0
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, text_col, key, k)
+    out = []
+    for b in range(bands):
+        member = F.concat_ws(
+            "_", *[F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                   for r in range(rows_per_band)]
+        )
+        out.append(
+            sig.select(
+                F.col(key),
+                F.lit(b).alias("band_id"),
+                F.md5(member).alias("band_hash"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
+                        key: str = "doc_id", k: int = 8,
+                        bands: int = 4) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing any band bucket.
+
+    The groupBy(band) keeps the join local to buckets — the scale path.
+    """
+    bk = minhash_lsh_buckets(df, text_col, key, k, bands)
+    a = bk.alias("a")
+    b = bk.alias("b")
+    pairs = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col(f"a.{key}") < F.col(f"b.{key}"))
+        .select(
+            F.col(f"a.{key}").alias("id_a"), F.col(f"b.{key}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def simhash(df: DataFrame, text_col: str = "text", key: str = "doc_id",
+            bits: int = 16) -> DataFrame:
+    """SimHash over distinct words: bit b set iff sum over words of
+    (word_hash bit b ? +1 : -1) > 0."""
+    spark = df.sparkSession
+    bits_df = spark.range(bits).select(F.col("id").cast("int").alias("bit"))
+    w = df.select(
+        F.col(key), F.explode(words_expr(F.col(text_col))).alias("word")
+    ).withColumn("h", md5int(F.col("word")))
+    per_bit = (
+        w.crossJoin(F.broadcast(bits_df))
+        .groupBy(key, "bit")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    return per_bit.groupBy(key).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+            .otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def jaccard_nearest(df: DataFrame, text_col: str = "text",
+                    key: str = "doc_id") -> DataFrame:
+    """All-pairs word-set Jaccard, top-1 neighbor per doc (small-table
+    verify path; at scale run only on LSH candidates).
+
+    Outputs exact integers (intersection, union) — the jaccard double is
+    used only for ordering (IEEE division is deterministic cross-engine).
+    """
+    w = df.select(
+        F.col(key), F.explode(words_expr(F.col(text_col))).alias("word")
+    )
+    sizes = w.groupBy(key).agg(F.count(F.lit(1)).alias("n_words"))
+    a = w.alias("a")
+    b = w.alias("b")
+    inter = (
+        a.join(b, "word")
+        .filter(F.col(f"a.{key}") != F.col(f"b.{key}"))
+        .groupBy(F.col(f"a.{key}").alias("id_a"), F.col(f"b.{key}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(key).alias("id_a"), F.col("n_words").alias("na"))
+    sb = sizes.select(F.col(key).alias("id_b"), F.col("n_words").alias("nb"))
+    scored = (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+        .withColumn("jac", F.col("inter") / F.col("uni"))
+    )
+    top = W.partitionBy("id_a").orderBy(F.col("jac").desc(), F.col("id_b").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(top))
+        .filter(F.col("rn") == 1)
+        .select(F.col("id_a").alias(key), F.col("id_b").alias("nn_id"),
+                "inter", "uni")
+    )

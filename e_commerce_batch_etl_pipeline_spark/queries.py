@@ -673,3 +673,386 @@ ORACLES = {
     "sessionize": ORACLE_SESSIONIZE,
     "tumbling_window_agg": ORACLE_TUMBLING,
 }
+
+
+# =====================================================================
+# Training-data pipeline ops: text analysis, dedup family, similarity
+# search, multimodal plumbing (SURVEY.md build-plan extensions)
+# =====================================================================
+
+
+def text_metrics(spark, sf_dir):
+    """Token counting (whitespace + BPE-ish regex), distinct words,
+    content fingerprint — pure Catalyst, map-only at scale."""
+    from .functions.text import (
+        bpe_token_count,
+        distinct_word_count,
+        doc_fingerprint,
+        ws_token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(t).alias("n_chars_calc"),
+        ws_token_count(t).alias("n_ws_tokens"),
+        bpe_token_count(t).alias("n_bpe_tokens"),
+        distinct_word_count(t).alias("n_distinct_words"),
+        doc_fingerprint(t).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_METRICS = r"""
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+       len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct_words,
+       md5(lower(trim(text))) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_lang_id(spark, sf_dir):
+    """Stopword-majority language ID heuristic; exports the per-language
+    stopword counts (exact ints) plus the argmax guess."""
+    from .functions.text import lang_guess, stopword_count
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        stopword_count(t, "de").alias("c_de"),
+        stopword_count(t, "en").alias("c_en"),
+        stopword_count(t, "es").alias("c_es"),
+        stopword_count(t, "fr").alias("c_fr"),
+        lang_guess(t).alias("lang_guess"),
+    ).orderBy("doc_id")
+
+
+ORACLE_LANG_ID = r"""
+WITH c AS (
+  SELECT doc_id,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        w -> w IN ('der','die','und','ein'))) AS c_de,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        w -> w IN ('the','a','of','and'))) AS c_en,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        w -> w IN ('el','la','y','un'))) AS c_es,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        w -> w IN ('le','la','et','un'))) AS c_fr
+  FROM documents
+)
+SELECT doc_id, c_de, c_en, c_es, c_fr,
+       CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+            WHEN c_de = greatest(c_de, c_en, c_es, c_fr) THEN 'de'
+            WHEN c_en = greatest(c_de, c_en, c_es, c_fr) THEN 'en'
+            WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
+            ELSE 'fr' END AS lang_guess
+FROM c ORDER BY doc_id
+"""
+
+
+def dedup_exact_stats(spark, sf_dir):
+    """Exact dedup: per source, docs vs distinct normalized fingerprints
+    (hash-groupBy; one partial-aggregated pass at scale)."""
+    from .functions.text import doc_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fp", doc_fingerprint(F.col("text")))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col("fp")).alias("n_unique"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(lower(trim(text)))) AS n_unique
+FROM documents GROUP BY 1 ORDER BY source
+"""
+
+
+def dedup_jaccard_nearest(spark, sf_dir):
+    """n-gram (word-set) Jaccard nearest neighbor per doc — the exact
+    verify step of the dedup pipeline (runs on LSH candidates at scale)."""
+    from .operators.dedup import jaccard_nearest
+
+    d = _t(spark, sf_dir, "documents")
+    return jaccard_nearest(d).orderBy("doc_id")
+
+
+ORACLE_JACCARD_NEAREST = r"""
+WITH w AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS word
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_words FROM w GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM w a JOIN w b USING (word)
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b, inter,
+         sa.n_words + sb.n_words - inter AS uni,
+         inter::DOUBLE / (sa.n_words + sb.n_words - inter) AS jac
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a AS doc_id, id_b AS nn_id, inter, uni
+FROM (SELECT *, row_number() OVER (PARTITION BY id_a
+                                   ORDER BY jac DESC, id_b ASC) AS rn
+      FROM scored)
+WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def dedup_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (k=8) over distinct word shingles — md5-derived,
+    portable; map-only at scale."""
+    from .operators.dedup import minhash_signatures
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_signatures(d, k=8).orderBy("doc_id")
+
+
+def _mh_sql(j):
+    return (
+        "list_min(list_transform("
+        "list_distinct(regexp_split_to_array(trim(text), '\\s+')), "
+        f"w -> ('0x'||substr(md5('{j}:' || w),1,15))::BIGINT)) AS mh_{j}"
+    )
+
+
+ORACLE_MINHASH_SIG = (
+    "SELECT doc_id, "
+    + ", ".join(_mh_sql(j) for j in range(8))
+    + " FROM documents ORDER BY doc_id"
+)
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """LSH banding stats: bucket-size histogram per band — the shuffle
+    that replaces the O(n^2) pair scan at 10^10 docs."""
+    from .operators.dedup import minhash_lsh_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    bk = minhash_lsh_buckets(d, k=8, bands=4)
+    return (
+        bk.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("bucket_size").alias("max_bucket"),
+            F.sum(F.when(F.col("bucket_size") > 1, 1).otherwise(0)).alias(
+                "n_collision_buckets"
+            ),
+        )
+        .orderBy("band_id")
+    )
+
+
+def _band_sql():
+    parts = []
+    split = "list_distinct(regexp_split_to_array(trim(text), '\\s+'))"
+    for b in range(4):
+        mhs = []
+        for r in range(2):
+            j = b * 2 + r
+            mhs.append(
+                "(list_min(list_transform(" + split + ", "
+                + f"w -> ('0x'||substr(md5('{j}:' || w),1,15))::BIGINT)))::VARCHAR"
+            )
+        parts.append(
+            f"SELECT doc_id, {b} AS band_id, "
+            + "md5(" + " || '_' || ".join(mhs) + ") AS band_hash FROM documents"
+        )
+    return " UNION ALL ".join(parts)
+
+
+_BAND_SQL = _band_sql()
+
+ORACLE_MINHASH_LSH = f"""
+WITH bands AS ({_BAND_SQL}),
+buckets AS (
+  SELECT band_id, band_hash, count(*) AS bucket_size
+  FROM bands GROUP BY 1, 2
+)
+SELECT band_id, count(*) AS n_buckets, max(bucket_size) AS max_bucket,
+       sum(CASE WHEN bucket_size > 1 THEN 1 ELSE 0 END) AS n_collision_buckets
+FROM buckets GROUP BY 1 ORDER BY band_id
+"""
+
+
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash per doc (md5-derived bit votes over words)."""
+    from .operators.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d, bits=16).orderBy("doc_id")
+
+
+ORACLE_SIMHASH = r"""
+WITH w AS (
+  SELECT doc_id,
+         ('0x'||substr(md5(unnest(list_distinct(
+             regexp_split_to_array(trim(text), '\s+')))),1,15))::BIGINT AS h
+  FROM documents
+),
+per_bit AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM w CROSS JOIN (SELECT i::INT AS bit FROM range(16) r(i)) bits
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+FROM per_bit GROUP BY 1 ORDER BY doc_id
+"""
+
+
+def embed_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for every 50th vector as query. Exact
+    int64 dot products on floor-quantized embeddings (portable); cosine
+    double used only for ordering."""
+    from .operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(e, q, k=5).orderBy("query_id", "rank")
+
+
+ORACLE_COSINE_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> floor(x*10000 + 0.5)::BIGINT) AS qq
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+c AS (
+  SELECT vec_id AS nn_id,
+         list_transform(embedding, x -> floor(x*10000 + 0.5)::BIGINT) AS qv
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, nn_id,
+         list_sum(list_transform(list_zip(qv, qq), p -> p[1] * p[2]))::BIGINT AS dot,
+         list_sum(list_transform(qv, x -> x * x))::BIGINT AS n2,
+         list_sum(list_transform(qq, x -> x * x))::BIGINT AS qn2
+  FROM c CROSS JOIN q WHERE nn_id <> query_id
+)
+SELECT query_id, rank, nn_id, dot, n2 FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY (dot / sqrt(n2::DOUBLE * qn2::DOUBLE)) DESC, nn_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def embed_lsh_signature(spark, sf_dir):
+    """Random-hyperplane LSH bucket id per vector (16 planes, md5-derived
+    ±1 weights, exact int arithmetic) — the ANN scale path's partitioner."""
+    from .operators.similarity import hyperplane_signature
+
+    e = _t(spark, sf_dir, "embeddings")
+    return hyperplane_signature(e, planes=16).orderBy("vec_id")
+
+
+ORACLE_LSH_SIG = """
+WITH v AS (
+  SELECT vec_id, i::INT AS i,
+         floor(embedding[i::INT + 1] * 10000 + 0.5)::BIGINT AS x
+  FROM embeddings CROSS JOIN range(64) r(i)
+),
+wt AS (
+  SELECT p::INT AS plane, i::INT AS i,
+         CASE WHEN ('0x'||substr(md5(p::INT::VARCHAR || ':' || i::INT::VARCHAR),1,15))::BIGINT & 1 = 1
+              THEN 1 ELSE -1 END AS w
+  FROM range(16) a(p) CROSS JOIN range(64) b(i)
+),
+proj AS (
+  SELECT vec_id, plane, sum(w * x) AS s
+  FROM v JOIN wt USING (i) GROUP BY 1, 2
+)
+SELECT vec_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << plane) ELSE 0 END)::BIGINT AS bucket
+FROM proj GROUP BY 1 ORDER BY vec_id
+"""
+
+
+def embed_ann_lsh_topk(spark, sf_dir):
+    """Approximate NN: exact cosine only within the query's LSH bucket
+    (8 planes). Non-SQL-expressible composition — rows-only check here;
+    recall vs brute force is asserted in tests/test_similarity.py."""
+    from .operators.similarity import ann_lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_lsh_topk(e, q, k=5, planes=8).orderBy("query_id", "rank")
+
+
+def multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payloads processed by an
+    Arrow-batched mapInPandas 'decoder' (deterministic fake — real decode
+    stubbed, see functions/multimodal.py). Metadata is oracle-checkable:
+    byte length / header byte / md5 checksum of the payload."""
+    from .functions.multimodal import attach_binary_payload, extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    feats = extract_features(attach_binary_payload(d))
+    return feats.select("doc_id", "n_bytes", "header", "checksum").orderBy(
+        F.col("doc_id").cast("long")
+    )
+
+
+ORACLE_MULTIMODAL_META = """
+SELECT doc_id::VARCHAR AS doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       CASE WHEN length(text) = 0 THEN -1 ELSE ascii(substr(text, 1, 1)) END AS header,
+       md5(text) AS checksum
+FROM documents ORDER BY doc_id::BIGINT
+"""
+
+
+QUERIES.update({
+    "text_metrics": text_metrics,
+    "text_lang_id": text_lang_id,
+    "dedup_exact_stats": dedup_exact_stats,
+    "dedup_jaccard_nearest": dedup_jaccard_nearest,
+    "dedup_minhash_signatures": dedup_minhash_signatures,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "embed_cosine_topk": embed_cosine_topk,
+    "embed_lsh_signature": embed_lsh_signature,
+    "embed_ann_lsh_topk": embed_ann_lsh_topk,
+    "multimodal_meta": multimodal_meta,
+})
+
+ORACLES.update({
+    "text_metrics": ORACLE_TEXT_METRICS,
+    "text_lang_id": ORACLE_LANG_ID,
+    "dedup_exact_stats": ORACLE_DEDUP_EXACT,
+    "dedup_jaccard_nearest": ORACLE_JACCARD_NEAREST,
+    "dedup_minhash_signatures": ORACLE_MINHASH_SIG,
+    "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
+    "dedup_simhash": ORACLE_SIMHASH,
+    "embed_cosine_topk": ORACLE_COSINE_TOPK,
+    "embed_lsh_signature": ORACLE_LSH_SIG,
+    # embed_ann_lsh_topk: intentionally no oracle (rows-only; recall
+    # asserted in tests/test_similarity.py against the brute-force top-k)
+    "multimodal_meta": ORACLE_MULTIMODAL_META,
+})
