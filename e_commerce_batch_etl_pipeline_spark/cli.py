@@ -44,6 +44,11 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--checkpoint", required=True)
     r.add_argument("--max-epochs", type=int, default=None)
     r.add_argument("--no-salt", action="store_true")
+    r.add_argument("--strict-dq", action="store_true",
+                   help="re-verify LWW key-uniqueness with an extra job")
+    r.add_argument("--no-audit-quarantine", action="store_true",
+                   help="skip persisting quarantined envelopes (counts "
+                        "still recorded in lineage)")
 
     args = p.parse_args(argv)
 
@@ -77,6 +82,8 @@ def main(argv: list[str] | None = None) -> int:
         eng = CdcEngine(
             spark, LakeTable(args.table), WalSource(args.wal),
             args.checkpoint, salted=not args.no_salt,
+            strict_dq=args.strict_dq,
+            audit_quarantine=not args.no_audit_quarantine,
         )
         t0 = time.time()
         results = eng.run(max_epochs=args.max_epochs)

@@ -41,9 +41,7 @@ def bootstrap_table(
     snap = table.current()
     if any(k.startswith(f"{BOOTSTRAP_EPOCH}:") for k in snap.fences):
         return table  # already bootstrapped — idempotent
-    staged = base.select(*snap.schema.names()).withColumn(
-        "_bucket", bucket_expr(key_column, snap.num_buckets)
-    ).repartition(snap.num_buckets, "_bucket")
+    staged = base.select(*snap.schema.names())
     buckets = list(range(snap.num_buckets))
     files = table.write_data_files(staged, buckets)
     table.commit(

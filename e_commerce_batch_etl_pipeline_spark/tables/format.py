@@ -36,6 +36,7 @@ import json
 import os
 import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -167,14 +168,47 @@ class Snapshot:
         )
 
 
-def bucket_expr(key_col: str, num_buckets: int):
-    """Deterministic bucket id for a key: pmod(xxhash64(key), B).
+def _parquet_rows(path: str) -> int:
+    import pyarrow.parquet as pq
 
-    xxhash64 is a Catalyst built-in (JVM-side, codegen'd) — stable across
-    Spark versions and partitionings, so bucket assignment is reproducible
-    on any cluster size.
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+@contextmanager
+def bucket_aligned_write(spark):
+    """Pin shuffle→file alignment for bucket-pure writes.
+
+    An explicit ``repartition(B, key)`` over a child already
+    hash-partitioned on the key is ELIDED by the planner, after which AQE
+    is free to coalesce the child's (non-user-specified) shuffle — merging
+    partitions and breaking the partition-index == bucket invariant. The
+    partition count of these writes IS the table layout, so runtime
+    re-planning must not touch it here; AQE coalescing stays on everywhere
+    else.
     """
-    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+def bucket_expr(key_col: str, num_buckets: int):
+    """Deterministic bucket id for a key: pmod(murmur3(key), B).
+
+    Deliberately IDENTICAL to Spark's HashPartitioning formula
+    (``pmod(Murmur3Hash(key), n)``): after ``df.repartition(B, key)``,
+    shuffle partition *i* contains exactly bucket *i*'s rows. The writer
+    exploits this — data files come out bucket-pure with NO extra
+    repartition/partitionBy pass, and a join shuffled on the key at B
+    partitions is already aligned with the table layout. Stability:
+    Murmur3Hash(seed 42) is part of Spark's shuffle contract and cannot
+    change without breaking every bucketed table; tests assert file
+    purity against this expression.
+    """
+    return F.pmod(F.hash(F.col(key_col)), F.lit(num_buckets)).cast("int")
 
 
 class LakeTable:
@@ -256,56 +290,54 @@ class LakeTable:
         if not files:
             return spark.createDataFrame([], target)
         paths = [os.path.join(self.root, f["path"]) for f in files]
-        # mergeSchema=false: we reconcile ourselves; read is schema-on-read
-        df = spark.read.parquet(*paths)
-        cols = []
-        have = {f.name: f.dataType for f in df.schema.fields}
-        for fld in target.fields:
-            if fld.name in have:
-                c = F.col(fld.name)
-                if have[fld.name] != fld.dataType:
-                    c = c.cast(fld.dataType)
-                cols.append(c.alias(fld.name))
-            else:
-                cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
-        return df.select(*cols)
+        # Explicit schema: skips driver-side footer inference (saves ~2s
+        # per read with many files — a serial cost that hurts scaling).
+        # The parquet reader clips to the requested schema: columns absent
+        # in old files (additive evolution) come back as NULL, and
+        # int32→int64 / float→double widening is upcast by the vectorized
+        # reader (Spark 4 type-widening) — so old-schema files reconcile
+        # without a per-file plan.
+        return spark.read.schema(target).parquet(*paths)
 
     # ---------- write path ----------
 
     def write_data_files(
-        self, df: DataFrame, buckets_touched: list[int]
+        self, df: DataFrame, buckets_touched: list[int] | None = None
     ) -> list[dict]:
-        """Stage new data files for the given buckets; returns file entries.
+        """Stage bucket-pure data files; returns file entries.
 
-        The frame must already carry a ``_bucket`` column. One output dir
-        per commit attempt (uuid) so concurrent/crashed attempts never
-        collide; files become live only when a snapshot referencing them is
-        published. ``partitionBy`` gives one file per (bucket, task) —
-        paired with an upstream ``repartition(num_buckets, _bucket)`` this
-        yields exactly one file per bucket (the reference's file-count
-        control, ``src/load.py:34-41``).
+        ``df.repartition(B, key)`` uses Spark's HashPartitioning, whose
+        partition index equals ``bucket_expr`` by construction — so a flat
+        write yields exactly one bucket-pure file per non-empty bucket
+        (file ``part-0000i-*`` ↔ bucket *i*), with no partitionBy
+        dynamic-partition pass and no second shuffle (an upstream join
+        already hash-partitioned on the key at B partitions is elided).
+        This is the reference's file-count control (``src/load.py:34-41``)
+        upgraded into the commit protocol. One output dir per commit
+        attempt (uuid): crashed attempts never collide, files become live
+        only when a snapshot referencing them publishes. Buckets that end
+        up empty (all rows deleted) produce no file and drop out.
         """
+        snap = self.current()
         attempt = uuid.uuid4().hex[:12]
         rel_dir = os.path.join("data", f"commit-{attempt}")
         out_dir = os.path.join(self.root, rel_dir)
-        (
-            df.write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(out_dir)
+        out = df.drop("_bucket").repartition(
+            snap.num_buckets, F.col(snap.key_column)
         )
+        with bucket_aligned_write(df.sparkSession):
+            out.write.mode("overwrite").parquet(out_dir)
+        wanted = set(buckets_touched) if buckets_touched is not None else None
         entries = []
-        for b in buckets_touched:
-            bdir = os.path.join(out_dir, f"_bucket={b}")
-            if not os.path.isdir(bdir):
-                continue  # bucket ended up empty (all rows deleted)
-            for fn in os.listdir(bdir):
-                if fn.endswith(".parquet"):
-                    entries.append(
-                        {
-                            "path": os.path.join(rel_dir, f"_bucket={b}", fn),
-                            "bucket": b,
-                        }
-                    )
+        for fn in sorted(os.listdir(out_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            b = int(fn.split("-")[1])
+            if _parquet_rows(os.path.join(out_dir, fn)) == 0:
+                continue  # empty partition → bucket has no data
+            if wanted is not None and b not in wanted:
+                continue
+            entries.append({"path": os.path.join(rel_dir, fn), "bucket": b})
         return entries
 
     def commit(

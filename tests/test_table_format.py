@@ -112,3 +112,17 @@ def test_orphan_files_invisible(spark, table, tmpdir_clean):
     )
     table.write_data_files(staged, [0, 1, 2, 3])  # staged, never committed
     assert table.read(spark).count() == 500  # unchanged
+
+
+def test_data_files_bucket_pure(spark, table):
+    # every file must contain only rows whose bucket_expr equals its
+    # manifest bucket — the invariant the murmur3-aligned writer relies on
+    snap = table.current()
+    import os as _os
+
+    for f in snap.files:
+        df = spark.read.parquet(_os.path.join(table.root, f["path"]))
+        bad = df.withColumn(
+            "_b", bucket_expr(snap.key_column, snap.num_buckets)
+        ).filter(f"_b <> {f['bucket']}")
+        assert bad.count() == 0, f"file {f['path']} impure"
