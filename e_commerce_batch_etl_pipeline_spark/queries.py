@@ -1056,3 +1056,177 @@ ORACLES.update({
     # asserted in tests/test_similarity.py against the brute-force top-k)
     "multimodal_meta": ORACLE_MULTIMODAL_META,
 })
+
+
+# =====================================================================
+# §2 coverage closers: SQL-over-files (S3), temp views (S6), full date
+# function family (§2.9), pivot / rollup / set ops (§2.6, §2.8)
+# =====================================================================
+
+
+def sql_over_files(spark, sf_dir):
+    """S3: spark.sql over a parquet path literal
+    (notebooks/04_write_parquet.py:134-139)."""
+    path = os.path.join(sf_dir, "orders.parquet")
+    return spark.sql(
+        f"""SELECT o_orderpriority,
+                   count(*) AS n,
+                   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS revenue_cents
+            FROM parquet.`{path}`
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+    )
+
+
+ORACLE_SQL_OVER_FILES = """
+SELECT o_orderpriority, count(*) AS n,
+       sum(round(o_totalprice * 100, 0)::BIGINT) AS revenue_cents
+FROM orders GROUP BY 1 ORDER BY o_orderpriority
+"""
+
+
+def temp_view_pipeline(spark, sf_dir):
+    """S6: temp-view handoff between pipeline stages
+    (notebooks/01:268 → 02:25 pattern) + SQL stage on the view."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_stage")
+    spark.sql(
+        """SELECT l_orderkey, l_returnflag,
+                  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents
+           FROM lineitem_stage WHERE l_quantity > 0"""
+    ).createOrReplaceTempView("lineitem_clean")
+    return spark.sql(
+        """SELECT l_returnflag, count(*) AS n, sum(price_cents) AS sum_cents
+           FROM lineitem_clean GROUP BY 1 ORDER BY l_returnflag"""
+    )
+
+
+ORACLE_TEMP_VIEW = """
+SELECT l_returnflag, count(*) AS n,
+       sum(round(l_extendedprice * 100, 0)::BIGINT) AS sum_cents
+FROM lineitem WHERE l_quantity > 0
+GROUP BY 1 ORDER BY l_returnflag
+"""
+
+
+def etl_date_functions(spark, sf_dir):
+    """§2.9 full date family: quarter, dayofweek, month name, datediff
+    (notebooks/02:170-179). dayofweek aligned: Spark is 1=Sunday,
+    DuckDB dayofweek is 0=Sunday → oracle adds 1."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "inner")
+    return j.select(
+        F.col("o_orderkey"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.date_format("o_orderdate", "MMMM").alias("order_month_name"),
+        F.datediff(F.col("last_ship"), F.col("o_orderdate")).alias(
+            "days_to_last_ship"
+        ),
+    ).orderBy("o_orderkey")
+
+
+ORACLE_DATE_FUNCTIONS = """
+SELECT o_orderkey,
+       quarter(o_orderdate) AS order_quarter,
+       (dayofweek(o_orderdate) + 1)::INT AS order_dow,
+       monthname(o_orderdate) AS order_month_name,
+       date_diff('day', o_orderdate::DATE, last_ship::DATE)::INT
+         AS days_to_last_ship
+FROM orders
+JOIN (SELECT l_orderkey, max(l_shipdate) AS last_ship
+      FROM lineitem GROUP BY 1) li ON o_orderkey = l_orderkey
+ORDER BY o_orderkey
+"""
+
+
+def pivot_status_by_priority(spark, sf_dir):
+    """Pivot (§2.6-absent in the reference, standard OLAP reshape):
+    order counts by priority × status."""
+    o = _t(spark, sf_dir, "orders")
+    statuses = ["F", "O", "P"]
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .count()
+        .na.fill(0)
+        .withColumnsRenamed({s: f"n_{s}" for s in statuses})
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_PIVOT = """
+SELECT o_orderpriority,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_F,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_O,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_P
+FROM orders GROUP BY 1 ORDER BY o_orderpriority
+"""
+
+
+def rollup_revenue(spark, sf_dir):
+    """ROLLUP hierarchy totals (§2.6-absent; grouping-set coverage)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_year", F.year("o_orderdate"))
+        .rollup("order_year", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .alias("revenue_cents"),
+        )
+        .orderBy("order_year", "o_orderstatus")
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT year(o_orderdate) AS order_year, o_orderstatus,
+       count(*) AS n,
+       sum(round(o_totalprice * 100, 0)::BIGINT) AS revenue_cents
+FROM orders GROUP BY ROLLUP (order_year, o_orderstatus)
+ORDER BY order_year, o_orderstatus
+"""
+
+
+def set_ops_except(spark, sf_dir):
+    """Set ops (§2.8-absent: exceptAll/intersect): customers with orders
+    but no high-priority orders."""
+    o = _t(spark, sf_dir, "orders")
+    all_c = o.select("o_custkey")
+    hi = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        all_c.distinct()
+        .exceptAll(hi.distinct())
+        .withColumnRenamed("o_custkey", "custkey")
+        .orderBy("custkey")
+    )
+
+
+ORACLE_SET_OPS = """
+SELECT DISTINCT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT DISTINCT o_custkey AS custkey FROM orders
+WHERE o_orderpriority = '1-URGENT'
+ORDER BY custkey
+"""
+
+
+QUERIES.update({
+    "sql_over_files": sql_over_files,
+    "temp_view_pipeline": temp_view_pipeline,
+    "etl_date_functions": etl_date_functions,
+    "pivot_status_by_priority": pivot_status_by_priority,
+    "rollup_revenue": rollup_revenue,
+    "set_ops_except": set_ops_except,
+})
+
+ORACLES.update({
+    "sql_over_files": ORACLE_SQL_OVER_FILES,
+    "temp_view_pipeline": ORACLE_TEMP_VIEW,
+    "etl_date_functions": ORACLE_DATE_FUNCTIONS,
+    "pivot_status_by_priority": ORACLE_PIVOT,
+    "rollup_revenue": ORACLE_ROLLUP,
+    "set_ops_except": ORACLE_SET_OPS,
+})

@@ -161,6 +161,20 @@ class CdcEngine:
         return results
 
     def apply_epoch(self, epoch: int) -> EpochResult:
+        """Apply one WAL segment (fence-checked, idempotent)."""
+        raw = None
+        snap = self.table.current()
+        if not any(k.startswith(f"{epoch}:") for k in snap.fences):
+            raw = self.wal.read_epoch(self.spark, epoch)
+        return self.apply_changes_df(raw, epoch)
+
+    def apply_changes_df(self, raw, epoch: int) -> EpochResult:
+        """Apply a DataFrame of change envelopes as epoch ``epoch``.
+
+        Also the ``foreachBatch`` body for the Structured Streaming
+        front-end (streaming/structured.py) — the streaming batch id is
+        the epoch, and the fence set makes redelivery a no-op.
+        """
         t0 = time.time()
         snap = self.table.current()
 
@@ -173,8 +187,8 @@ class CdcEngine:
             return EpochResult(epoch=epoch, status="skipped",
                                buckets_touched=len(committed),
                                duration_sec=time.time() - t0)
-
-        raw = self.wal.read_epoch(self.spark, epoch)
+        if raw is None:
+            raw = self.wal.read_epoch(self.spark, epoch)
 
         # 3. additive schema evolution: new envelope payload columns
         table_cols = set(snap.schema.names())

@@ -1,0 +1,130 @@
+"""Schema-pinned readers (modes + corrupt-row quarantine), Structured
+Streaming front-end (watermarked windows, foreachBatch exactly-once),
+plan assertions."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.utils import AnalysisException
+
+from e_commerce_batch_etl_pipeline_spark.plans import (
+    assert_no_python_row_udf,
+    assert_pushed_filters,
+)
+from e_commerce_batch_etl_pipeline_spark.sources.readers import (
+    read_csv,
+    split_corrupt,
+)
+
+CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("price", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture()
+def csv_path(tmpdir_clean):
+    p = os.path.join(tmpdir_clean, "in.csv")
+    with open(p, "w") as f:
+        f.write("id,name,price\n1,apple,2.5\n2,banana,oops\n3,pear,4.0\n")
+    return p
+
+
+def test_csv_permissive_quarantine(spark, csv_path):
+    df = read_csv(spark, csv_path, CSV_SCHEMA, mode="PERMISSIVE",
+                  corrupt_col="_corrupt")
+    clean, bad = split_corrupt(df)
+    assert clean.count() == 2
+    assert bad.count() == 1
+    assert "banana" in bad.collect()[0]["_corrupt"]
+
+
+def test_csv_dropmalformed(spark, csv_path):
+    df = read_csv(spark, csv_path, CSV_SCHEMA, mode="DROPMALFORMED")
+    assert {r["name"] for r in df.collect()} == {"apple", "pear"}
+
+
+def test_csv_failfast(spark, csv_path):
+    df = read_csv(spark, csv_path, CSV_SCHEMA, mode="FAILFAST")
+    with pytest.raises(Exception):
+        df.collect()
+
+
+def test_pushdown_and_no_python_udf(spark):
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .filter(F.col("l_quantity") > 40)
+        .select("l_orderkey", "l_quantity")
+    )
+    assert_pushed_filters(df, "l_quantity")
+    assert_no_python_row_udf(df, allow_arrow=False)
+
+
+def test_streaming_windowed_rates(spark, tmpdir_clean):
+    from e_commerce_batch_etl_pipeline_spark.sources.datagen import write_wal
+    from e_commerce_batch_etl_pipeline_spark.streaming.structured import (
+        stream_wal,
+        windowed_change_rates,
+    )
+
+    wal = os.path.join(tmpdir_clean, "wal")
+    write_wal(spark, wal, 2, 500, 400, seed=7, max_len=8)
+    stream = stream_wal(spark, os.path.join(wal, "epoch-*"), 8)
+    agg = windowed_change_rates(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("rates")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM rates").collect()
+    assert len(out) > 0
+    ops = {r["op"] for r in out}
+    assert "I" in ops or "U" in ops
+
+
+def test_streaming_foreachbatch_exactly_once(spark, tmpdir_clean):
+    from e_commerce_batch_etl_pipeline_spark.sources.datagen import (
+        generate_base_docs,
+        write_wal,
+    )
+    from e_commerce_batch_etl_pipeline_spark.streaming.bootstrap import (
+        bootstrap_table,
+    )
+    from e_commerce_batch_etl_pipeline_spark.streaming.structured import (
+        stream_apply,
+    )
+    from e_commerce_batch_etl_pipeline_spark.tables.format import LakeTable
+
+    base = generate_base_docs(spark, 300, seed=9, max_len=8)
+    table = bootstrap_table(os.path.join(tmpdir_clean, "t"), base,
+                            num_buckets=4)
+    wal = os.path.join(tmpdir_clean, "wal")
+    write_wal(spark, wal, 2, 200, 300, seed=9, max_len=8)
+    q = stream_apply(
+        spark, os.path.join(wal, "epoch-*"), table.root,
+        os.path.join(tmpdir_clean, "eng_ckpt"),
+        os.path.join(tmpdir_clean, "stream_ckpt"),
+        max_files_per_trigger=1000,
+    )
+    q.awaitTermination(180)
+    n1 = table.read(spark).count()
+    v1 = table.current().version
+    assert n1 > 0
+    # restart the stream with a FRESH streaming checkpoint: every batch is
+    # redelivered; the engine's fences must make it a no-op
+    q2 = stream_apply(
+        spark, os.path.join(wal, "epoch-*"), table.root,
+        os.path.join(tmpdir_clean, "eng_ckpt2"),
+        os.path.join(tmpdir_clean, "stream_ckpt2"),
+        max_files_per_trigger=1000,
+    )
+    q2.awaitTermination(180)
+    assert table.read(spark).count() == n1
+    assert table.current().version == v1
