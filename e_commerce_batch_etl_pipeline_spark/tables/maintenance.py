@@ -1,0 +1,99 @@
+"""Table maintenance: compaction, snapshot expiry, orphan-file GC.
+
+The reference's small-files discipline (``repartition(8)``: "148 tiny
+files → 8 files", ``streamlit_app/app.py:929-952``; ~128 MB/file rule
+``notebooks/04_write_parquet.py:36-46``) becomes real table maintenance
+here, in Iceberg's shape:
+
+- ``compact``: rewrite buckets whose file count exceeds a threshold into
+  one file per bucket, committed as a normal snapshot (readers never see
+  a partial compaction; time travel to pre-compaction snapshots still
+  works because old files are only dereferenced, not deleted).
+- ``expire_snapshots``: drop snapshot JSONs older than a retention count,
+  keeping the current one (bounds metadata growth).
+- ``remove_orphans``: delete data files under ``data/`` that no retained
+  snapshot references — crashed commit attempts and expired history.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+from .format import LakeTable, Snapshot
+
+
+def compact(
+    table: LakeTable,
+    spark: SparkSession,
+    max_files_per_bucket: int = 1,
+) -> Snapshot | None:
+    """Rewrite over-fragmented buckets; returns the new snapshot or None.
+
+    At 100 TB this runs per-bucket-group as a background job; the commit
+    is the same atomic pointer swap as an ingest epoch, so compaction and
+    ingest serialize through the single-writer snapshot log.
+    """
+    snap = table.current()
+    per_bucket: dict[int, int] = {}
+    for f in snap.files:
+        per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+    frag = sorted(
+        b for b, n in per_bucket.items() if n > max_files_per_bucket
+    )
+    if not frag:
+        return None
+    df = table.read(spark, buckets=frag)
+    new_files = table.write_data_files(df, frag)
+    # epoch tag for compaction commits: negative, below bootstrap
+    return table.commit(
+        epoch=-(snap.version + 2),
+        replaced_buckets=frag,
+        new_files=new_files,
+        bucket_max_lsn={
+            b: int(snap.watermark.get(str(b), -1)) for b in frag
+        },
+        props={"compaction": True, "buckets": len(frag)},
+    )
+
+
+def expire_snapshots(table: LakeTable, keep_last: int = 5) -> list[int]:
+    """Delete snapshot metadata older than the last ``keep_last``."""
+    versions = table.history()
+    current = table.current().version
+    to_drop = [v for v in versions[:-keep_last] if v != current]
+    for v in to_drop:
+        p = os.path.join(table.root, "metadata", f"snapshot-{v:08d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    return to_drop
+
+
+def remove_orphans(table: LakeTable) -> list[str]:
+    """Delete data files/dirs no retained snapshot references."""
+    live: set[str] = set()
+    for v in table.history():
+        snap = table.snapshot_at(v)
+        live.update(f["path"] for f in snap.files)
+    data_root = os.path.join(table.root, "data")
+    removed = []
+    for commit_dir in sorted(os.listdir(data_root)):
+        cdir = os.path.join(data_root, commit_dir)
+        if not os.path.isdir(cdir):
+            continue
+        rels = [
+            os.path.join("data", commit_dir, fn)
+            for fn in os.listdir(cdir)
+            if fn.endswith(".parquet")
+        ]
+        if rels and all(r not in live for r in rels):
+            shutil.rmtree(cdir)
+            removed.extend(rels)
+        else:
+            for r in rels:
+                if r not in live:
+                    os.remove(os.path.join(table.root, r))
+                    removed.append(r)
+    return removed
