@@ -43,7 +43,9 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--wal", required=True)
     r.add_argument("--checkpoint", required=True)
     r.add_argument("--max-epochs", type=int, default=None)
-    r.add_argument("--no-salt", action="store_true")
+    r.add_argument("--salted", action="store_true",
+                   help="two-stage salted LWW (for non-combinable "
+                        "aggregation buffers; max_by doesn't need it)")
     r.add_argument("--strict-dq", action="store_true",
                    help="re-verify LWW key-uniqueness with an extra job")
     r.add_argument("--no-audit-quarantine", action="store_true",
@@ -81,7 +83,7 @@ def main(argv: list[str] | None = None) -> int:
 
         eng = CdcEngine(
             spark, LakeTable(args.table), WalSource(args.wal),
-            args.checkpoint, salted=not args.no_salt,
+            args.checkpoint, salted=args.salted,
             strict_dq=args.strict_dq,
             audit_quarantine=not args.no_audit_quarantine,
         )

@@ -108,7 +108,7 @@ class CdcEngine:
         table: LakeTable,
         wal: WalSource,
         checkpoint_dir: str,
-        salted: bool = True,
+        salted: bool = False,
         num_salts: int = 16,
         broadcast_threshold: int = 100_000,
         audit_quarantine: bool = True,

@@ -108,6 +108,7 @@ def test_skewed_hot_keys(spark, tmpdir_clean):
     table, wal, base = _setup(
         spark, tmpdir_clean, num_hot_keys=1, hot_key_frac=0.5
     )
+    # both physical strategies must produce the oracle state under skew
     eng = CdcEngine(spark, table, wal, os.path.join(tmpdir_clean, "ckpt"),
                     salted=True, num_salts=8)
     eng.run()

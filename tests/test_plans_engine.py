@@ -1,0 +1,75 @@
+"""Plan-level guarantees of the engine's hot path (SURVEY.md §7.4.6):
+no per-row Python anywhere, file pruning on the merge's base read,
+broadcast of small change-sets."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from e_commerce_batch_etl_pipeline_spark.functions.tokens import (
+    recompute_n_tok,
+    validate_envelopes,
+)
+from e_commerce_batch_etl_pipeline_spark.operators.lww import lww_dedup_salted
+from e_commerce_batch_etl_pipeline_spark.operators.merge import merge_upsert
+from e_commerce_batch_etl_pipeline_spark.plans import (
+    assert_broadcast_join,
+    assert_no_python_row_udf,
+    physical_plan,
+)
+from e_commerce_batch_etl_pipeline_spark.sources.datagen import (
+    generate_base_docs,
+    generate_wal_epoch,
+)
+from e_commerce_batch_etl_pipeline_spark.streaming.bootstrap import bootstrap_table
+
+
+def test_dedup_pipeline_is_pure_catalyst(spark):
+    env = generate_wal_epoch(spark, 0, 500, 400, seed=5, max_len=8)
+    valid, _ = validate_envelopes(env)
+    dedup = recompute_n_tok(lww_dedup_salted(valid))
+    plan = assert_no_python_row_udf(dedup, allow_arrow=False)
+    # two-stage salted aggregation shape: (key, salt) then (key)
+    assert plan.count("Exchange") >= 2
+
+
+def test_merge_broadcasts_small_changeset(spark, tmpdir_clean):
+    base = generate_base_docs(spark, 500, seed=5, max_len=8)
+    table = bootstrap_table(os.path.join(tmpdir_clean, "t"), base, num_buckets=4)
+    env = generate_wal_epoch(spark, 0, 100, 500, seed=5, max_len=8)
+    valid, _ = validate_envelopes(env)
+    changes = recompute_n_tok(lww_dedup_salted(valid))
+    merged = merge_upsert(table.read(spark), changes, broadcast_changes=True)
+    assert_broadcast_join(merged)
+    assert_no_python_row_udf(merged, allow_arrow=False)
+
+
+def test_base_read_prunes_files(spark, tmpdir_clean):
+    base = generate_base_docs(spark, 500, seed=5, max_len=8)
+    table = bootstrap_table(os.path.join(tmpdir_clean, "t"), base, num_buckets=4)
+    pruned = table.read(spark, buckets=[1])
+    plan = physical_plan(pruned)
+    # only bucket 1's file is in the scan
+    snap = table.current()
+    b1 = [f for f in snap.files if f["bucket"] == 1]
+    others = [f for f in snap.files if f["bucket"] != 1]
+    assert len(b1) == 1 and others
+    # the scan's location list contains exactly one file: verify by
+    # row counts per bucket instead of parsing paths (plan truncates)
+    assert pruned.count() == spark.read.parquet(
+        os.path.join(table.root, b1[0]["path"])
+    ).count()
+
+
+def test_quantized_similarity_is_jvm_side(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from e_commerce_batch_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = cosine_topk(emb, q, k=3)
+    assert_no_python_row_udf(topk, allow_arrow=False)
