@@ -52,6 +52,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="skip persisting quarantined envelopes (counts "
                         "still recorded in lineage)")
 
+    m = sub.add_parser("maintain")
+    m.add_argument("--table", required=True)
+    m.add_argument("--max-files-per-bucket", type=int, default=4)
+    m.add_argument("--keep-snapshots", type=int, default=10)
+    m.add_argument("--gc", action="store_true",
+                   help="also delete orphaned data files")
+
     args = p.parse_args(argv)
 
     from .session import build_session
@@ -96,6 +103,24 @@ def main(argv: list[str] | None = None) -> int:
             "rows_applied": applied,
             "wall_sec": round(wall, 3),
             "events_per_sec": round(applied / wall, 1) if wall > 0 else None,
+        }))
+    elif args.cmd == "maintain":
+        from .tables.format import LakeTable
+        from .tables.maintenance import (
+            compact,
+            expire_snapshots,
+            remove_orphans,
+        )
+
+        table = LakeTable(args.table)
+        snap = compact(table, spark,
+                       max_files_per_bucket=args.max_files_per_bucket)
+        dropped = expire_snapshots(table, keep_last=args.keep_snapshots)
+        removed = remove_orphans(table) if args.gc else []
+        print(json.dumps({
+            "compacted": snap is not None,
+            "snapshots_expired": len(dropped),
+            "orphans_removed": len(removed),
         }))
     return 0
 

@@ -97,3 +97,57 @@ def remove_orphans(table: LakeTable) -> list[str]:
                     os.remove(os.path.join(table.root, r))
                     removed.append(r)
     return removed
+
+
+def verify(table: LakeTable, spark: SparkSession) -> dict:
+    """Post-commit write-verify (reference K4: read-back counts +
+    partition histogram, ``notebooks/04_write_parquet.py:119-139``).
+
+    Two tiers: (a) metadata — every manifest file exists on disk and is
+    bucket-consistent by footer; (b) data — one read-back pass asserting
+    the table invariants (key uniqueness, n_tok == size(tokens)).
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    snap = table.current()
+    missing = []
+    rows_by_bucket: dict[int, int] = {}
+    for f in snap.files:
+        p = os.path.join(table.root, f["path"])
+        if not os.path.exists(p):
+            missing.append(f["path"])
+            continue
+        rows_by_bucket[f["bucket"]] = (
+            rows_by_bucket.get(f["bucket"], 0)
+            + pq.ParquetFile(p).metadata.num_rows
+        )
+    if missing:
+        return {
+            "ok": False, "version": snap.version, "rows": None,
+            "distinct_keys": None, "bad_ntok": None,
+            "missing_files": missing, "buckets": len(rows_by_bucket),
+        }
+    df = table.read(spark)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.count_distinct(F.col(snap.key_column)).alias("keys"),
+        F.sum(
+            F.when(F.col("n_tok") != F.size(F.col("tokens")), 1).otherwise(0)
+        ).alias("bad_ntok"),
+    ).collect()[0]
+    ok = (
+        not missing
+        and int(agg["rows"]) == sum(rows_by_bucket.values())
+        and int(agg["rows"]) == int(agg["keys"])
+        and int(agg["bad_ntok"] or 0) == 0
+    )
+    return {
+        "ok": ok,
+        "version": snap.version,
+        "rows": int(agg["rows"]),
+        "distinct_keys": int(agg["keys"]),
+        "bad_ntok": int(agg["bad_ntok"] or 0),
+        "missing_files": missing,
+        "buckets": len(rows_by_bucket),
+    }

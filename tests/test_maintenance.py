@@ -63,3 +63,18 @@ def test_expire_and_orphan_gc(spark, replayed):
     # every remaining manifest file exists on disk
     for f in replayed.current().files:
         assert os.path.exists(os.path.join(replayed.root, f["path"]))
+
+
+def test_write_verify(spark, replayed):
+    from e_commerce_batch_etl_pipeline_spark.tables.maintenance import verify
+
+    rep = verify(replayed, spark)
+    assert rep["ok"], rep
+    assert rep["rows"] == rep["distinct_keys"]
+    # sabotage: delete a data file → verify flags it
+    import os as _os
+
+    victim = replayed.current().files[0]["path"]
+    _os.remove(_os.path.join(replayed.root, victim))
+    rep2 = verify(replayed, spark)
+    assert not rep2["ok"] and victim in rep2["missing_files"]

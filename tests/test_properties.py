@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis): the engine's core invariants hold
+for arbitrary op sequences, not just the generator's distribution."""
+
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from e_commerce_batch_etl_pipeline_spark.operators.lww import (
+    lww_dedup,
+    lww_dedup_salted,
+)
+from e_commerce_batch_etl_pipeline_spark.operators.merge import merge_upsert
+
+from .oracle import replay
+
+# envelope: (lsn unique, op, key, tokens)
+_ops = st.sampled_from(["I", "U", "D"])
+_keys = st.integers(min_value=0, max_value=9).map(lambda i: f"k{i}")
+_tokens = st.lists(st.integers(min_value=0, max_value=50256),
+                   min_size=1, max_size=6)
+
+
+@st.composite
+def envelope_batches(draw):
+    n = draw(st.integers(min_value=1, max_value=30))
+    rows = []
+    for lsn in range(n):
+        op = draw(_ops)
+        rows.append(
+            {
+                "lsn": lsn,
+                "epoch": 0,
+                "op": op,
+                "doc_id": draw(_keys),
+                "tokens": None if op == "D" else draw(_tokens),
+                "n_tok": None,
+                "source": None if op == "D" else "web",
+            }
+        )
+    return rows
+
+
+SCHEMA = ("lsn long, epoch int, op string, doc_id string, "
+          "tokens array<int>, n_tok int, source string")
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(envelope_batches())
+def test_lww_plus_merge_equals_oracle(spark, rows):
+    """For ANY op sequence: LWW dedup + merge over empty base ==
+    the sequential dict-replay oracle."""
+    df = spark.createDataFrame(
+        [tuple(r.values()) for r in rows], SCHEMA
+    )
+    dedup = lww_dedup(df)
+    base = spark.createDataFrame(
+        [], "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    merged = merge_upsert(base, dedup, broadcast_changes=False)
+    got = {
+        r["doc_id"]: {"tokens": r["tokens"], "source": r["source"]}
+        for r in merged.collect()
+    }
+    exp_full = replay([], rows, ["tokens", "n_tok", "source"])
+    exp = {
+        k: {"tokens": list(v["tokens"]), "source": v["source"]}
+        for k, v in exp_full.items()
+    }
+    assert {k: (tuple(v["tokens"]), v["source"]) for k, v in got.items()} == {
+        k: (tuple(v["tokens"]), v["source"]) for k, v in exp.items()
+    }
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(envelope_batches(), st.integers(min_value=1, max_value=7))
+def test_salted_equals_plain_for_any_input(spark, rows, nparts):
+    df = spark.createDataFrame(
+        [tuple(r.values()) for r in rows], SCHEMA
+    ).repartition(nparts)
+    a = {r["doc_id"]: r["lsn"] for r in lww_dedup(df).collect()}
+    b = {r["doc_id"]: r["lsn"] for r in lww_dedup_salted(df, num_salts=4).collect()}
+    assert a == b
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(envelope_batches())
+def test_split_replay_equals_single_replay(spark, rows):
+    """Applying [first half] then [second half] == applying all at once —
+    the MERGE composition law the epoch loop depends on."""
+    half = len(rows) // 2
+    base0 = spark.createDataFrame(
+        [], "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+
+    def apply(base, subset):
+        if not subset:
+            return base
+        df = spark.createDataFrame([tuple(r.values()) for r in subset], SCHEMA)
+        return merge_upsert(base, lww_dedup(df), broadcast_changes=False)
+
+    two_step = apply(apply(base0, rows[:half]), rows[half:])
+    one_step = apply(base0, rows)
+    a = {(r["doc_id"], tuple(r["tokens"] or [])) for r in two_step.collect()}
+    b = {(r["doc_id"], tuple(r["tokens"] or [])) for r in one_step.collect()}
+    assert a == b

@@ -128,3 +128,48 @@ def test_streaming_foreachbatch_exactly_once(spark, tmpdir_clean):
     q2.awaitTermination(180)
     assert table.read(spark).count() == n1
     assert table.current().version == v1
+
+
+def test_stateful_change_compactor(spark, tmpdir_clean):
+    """applyInPandasWithState: cross-batch LWW — batch 2's stale
+    (lower-lsn) envelopes for keys advanced in batch 1 are swallowed."""
+    from e_commerce_batch_etl_pipeline_spark.streaming.stateful import (
+        compact_change_stream,
+    )
+    from e_commerce_batch_etl_pipeline_spark.streaming.structured import (
+        ENVELOPE_SCHEMA,
+        stream_wal,
+    )
+
+    wal = os.path.join(tmpdir_clean, "wal")
+    rows1 = [
+        (10, 0, "U", "a", [1, 2], None, "web", None),
+        (11, 0, "U", "b", [3], None, "web", None),
+    ]
+    rows2 = [
+        (5, 1, "U", "a", [9], None, "web", None),   # stale: lsn 5 < 10
+        (12, 1, "D", "b", None, None, None, None),  # advances b
+        (13, 1, "I", "c", [7, 7, 7], None, "code", None),
+    ]
+    for i, rows in enumerate([rows1, rows2]):
+        spark.createDataFrame(rows, ENVELOPE_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(wal, f"epoch-{i:05d}"))
+    stream = stream_wal(spark, os.path.join(wal, "epoch-*"),
+                        max_files_per_trigger=1)
+    out = compact_change_stream(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName("compacted")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["lsn"]): r["op"]
+        for r in spark.sql("SELECT * FROM compacted").collect()
+    }
+    assert got[("a", 10)] == "U"     # batch-1 winner
+    assert ("a", 5) not in got        # stale envelope swallowed by state
+    assert got[("b", 12)] == "D"     # delete advanced past lsn 11
+    assert got[("c", 13)] == "I"
