@@ -1230,3 +1230,148 @@ ORACLES.update({
     "rollup_revenue": ORACLE_ROLLUP,
     "set_ops_except": ORACLE_SET_OPS,
 })
+
+
+# =====================================================================
+# Bridge + remaining coverage: text→tokens bridge, embedding near-dup,
+# union expansion (O3)
+# =====================================================================
+
+
+def tokenize_documents(spark, sf_dir):
+    """Text → token-id arrays (the bridge from a raw documents table to
+    the engine's pre-tokenized input shape): whitespace words hashed into
+    a vocab of 50257 via the portable md5 hash. Arrays are summarized to
+    scalars for the comparison (n_tok, first/last id, checksum-sum)."""
+    from .operators.dedup import md5int
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.transform(words, lambda w: F.pmod(md5int(w), F.lit(50257)).cast("long"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.element_at(toks, 1).alias("tok_first"),
+        F.element_at(toks, -1).alias("tok_last"),
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "tok_sum"
+        ),
+    ).orderBy("doc_id")
+
+
+ORACLE_TOKENIZE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(trim(text), '\s+'),
+            w -> ('0x'||substr(md5(w),1,15))::BIGINT % 50257) AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tok,
+       toks[1] AS tok_first,
+       toks[-1] AS tok_last,
+       list_sum(toks)::BIGINT AS tok_sum
+FROM t ORDER BY doc_id
+"""
+
+
+def dedup_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: all pairs with cosine above
+    a threshold, exact int64 arithmetic (threshold compare done on
+    dot^2 * 10^8 vs thr^2 * n2a * n2b — fully integer, no float compare
+    at the boundary)."""
+    from .operators.similarity import dot_q, norm2_q, quantize
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.col("vec_id"), quantize(F.col("embedding")).alias("qv")
+    ).withColumn("n2", norm2_q(F.col("qv")))
+    a = q.alias("a")
+    b = q.alias("b")
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("dot", dot_q(F.col("a.qv"), F.col("b.qv")))
+        # cosine >= 0.5  ⇔  dot >= 0 AND 4*dot^2 >= n2a*n2b (exact ints)
+        .filter(
+            (F.col("dot") > 0)
+            & (4 * F.col("dot") * F.col("dot")
+               >= F.col("a.n2") * F.col("b.n2"))
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("dot"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+    return pairs
+
+
+ORACLE_EMBED_NEARDUP = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x*10000 + 0.5)::BIGINT) AS qv
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, qv,
+         list_sum(list_transform(qv, x -> x * x))::BIGINT AS n2
+  FROM q
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2]))::BIGINT AS dot
+FROM n a CROSS JOIN n b
+WHERE a.vec_id < b.vec_id
+  AND list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2]))::BIGINT > 0
+  AND 4 * list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2]))::BIGINT
+        * list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2]))::BIGINT
+      >= a.n2 * b.n2
+ORDER BY id_a, id_b
+"""
+
+
+def union_expand(spark, sf_dir):
+    """O3 union-by-position/name (src/extract.py:72-91's amplification
+    pattern, minus the O(n²) count loop): stack two filtered projections
+    and aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.lit("c").alias("kind")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.lit("v").alias("kind")
+    )
+    return (
+        clicks.unionByName(views)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("kind") == "c", 1).otherwise(0)).alias("n_clicks"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_UNION_EXPAND = """
+WITH u AS (
+  SELECT user_id, 'c' AS kind FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, 'v' AS kind FROM events WHERE event_type = 'view'
+)
+SELECT user_id, count(*) AS n,
+       sum(CASE WHEN kind = 'c' THEN 1 ELSE 0 END) AS n_clicks
+FROM u GROUP BY 1 ORDER BY user_id
+"""
+
+
+QUERIES.update({
+    "tokenize_documents": tokenize_documents,
+    "dedup_embedding_neardup": dedup_embedding_neardup,
+    "union_expand": union_expand,
+})
+ORACLES.update({
+    "tokenize_documents": ORACLE_TOKENIZE,
+    "dedup_embedding_neardup": ORACLE_EMBED_NEARDUP,
+    "union_expand": ORACLE_UNION_EXPAND,
+})
