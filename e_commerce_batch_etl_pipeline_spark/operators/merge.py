@@ -43,16 +43,26 @@ def merge_upsert(
     {I, U, D}; its payload columns must be a superset of ``base``'s
     (schema evolution adds columns on the change side first).
     """
-    out_cols = changes.drop("op", "lsn", "epoch", "ts").columns
-    # base rows whose key is untouched this batch
+    ch_payload = changes.drop("op", "lsn", "epoch", "ts").columns
+    # output schema = UNION of base and change payloads: a column the
+    # change side lacks (old-schema producer after additive evolution)
+    # must survive on untouched rows and read as NULL on upserted rows —
+    # dropping it would silently lose data for every survivor.
+    out_cols = list(base.columns) + [c for c in ch_payload if c not in base.columns]
+    ch_types = {f.name: f.dataType for f in changes.schema.fields}
+    base_types = {f.name: f.dataType for f in base.schema.fields}
+
     change_keys = changes.select(key)
     if broadcast_changes:
         change_keys = F.broadcast(change_keys)
-    ch_types = {f.name: f.dataType for f in changes.schema.fields}
     base_aligned = base
     for c in out_cols:
         if c not in base.columns:
             base_aligned = base_aligned.withColumn(c, F.lit(None).cast(ch_types[c]))
     survivors = base_aligned.select(*out_cols).join(change_keys, key, "left_anti")
-    upserts = changes.filter(F.col("op") != F.lit("D")).select(*out_cols)
+    upserts = changes.filter(F.col("op") != F.lit("D"))
+    for c in out_cols:
+        if c not in ch_payload:
+            upserts = upserts.withColumn(c, F.lit(None).cast(base_types[c]))
+    upserts = upserts.select(*out_cols)
     return survivors.unionByName(upserts)

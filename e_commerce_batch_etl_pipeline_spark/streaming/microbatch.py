@@ -190,13 +190,28 @@ class CdcEngine:
         if raw is None:
             raw = self.wal.read_epoch(self.spark, epoch)
 
-        # 3. additive schema evolution: new envelope payload columns
-        table_cols = set(snap.schema.names())
+        # 3. schema evolution from the envelope shape — metadata-only DDL:
+        #    new nullable payload columns are ADDED; a payload column
+        #    arriving WIDER than the table's type (int→bigint etc.)
+        #    triggers type widening. Envelopes NARROWER than the table or
+        #    missing table columns are fine as-is (merge aligns them).
+        from ..tables.format import _TYPE_WIDENING_OK
+
+        table_types = {n: t for n, t, _ in snap.schema.fields}
+        env_types = {f.name: f.dataType.simpleString() for f in raw.schema.fields}
         payload_cols = [c for c in raw.columns if c not in ENVELOPE_COLS]
-        new_cols = [c for c in payload_cols if c not in table_cols]
-        if new_cols:
-            types = {f.name: f.dataType.simpleString() for f in raw.schema.fields}
-            self.table.evolve_schema(add_columns=[(c, types[c]) for c in new_cols])
+        new_cols = [c for c in payload_cols if c not in table_types]
+        widen = {
+            c: env_types[c]
+            for c in payload_cols
+            if c in table_types
+            and (table_types[c], env_types[c]) in _TYPE_WIDENING_OK
+        }
+        if new_cols or widen:
+            self.table.evolve_schema(
+                add_columns=[(c, env_types[c]) for c in new_cols] or None,
+                widen=widen or None,
+            )
             snap = self.table.current()
 
         # 4. validate + quarantine. Conflict COUNTS come from an observe on

@@ -44,6 +44,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 VERSION_FILE = "VERSION"
+LOCK_FILE = "COMMIT_LOCK"
+LOCK_STALE_SEC = 300.0
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published a snapshot since this commit was planned."""
 _TYPE_WIDENING_OK = {
     ("int", "bigint"),
     ("smallint", "int"),
@@ -172,6 +178,42 @@ def _parquet_rows(path: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(path).metadata.num_rows
+
+
+@contextmanager
+def commit_lock(root: str):
+    """Exclusive advisory commit lock (O_CREAT|O_EXCL — atomic on POSIX).
+
+    The snapshot log is single-writer by design (SURVEY.md §7.2); this
+    turns the *assumption* into an enforced invariant: two engines
+    committing to one table serialize or fail fast instead of silently
+    last-write-winning the VERSION pointer. Stale locks (crashed writer)
+    are broken after LOCK_STALE_SEC.
+    """
+    path = os.path.join(root, "metadata", LOCK_FILE)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        try:
+            age = time.time() - os.path.getmtime(path)
+        except OSError:
+            age = 0.0
+        if age > LOCK_STALE_SEC:
+            os.remove(path)  # break stale lock from a crashed writer
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        else:
+            raise ConcurrentCommitError(
+                f"commit lock held ({path}, age {age:.0f}s)"
+            ) from None
+    try:
+        os.write(fd, f"{os.getpid()} {time.time()}".encode())
+        os.close(fd)
+        yield
+    finally:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
 
 
 @contextmanager
@@ -355,6 +397,17 @@ class LakeTable:
         call is a no-op returning None (replay safety). Atomicity: the
         VERSION pointer swap is a single ``os.replace``.
         """
+        with commit_lock(self.root):
+            return self._commit_locked(
+                epoch, replaced_buckets, new_files, bucket_max_lsn,
+                rows_applied, props,
+            )
+
+    def _commit_locked(
+        self, epoch, replaced_buckets, new_files, bucket_max_lsn,
+        rows_applied, props,
+    ) -> Snapshot | None:
+        # re-read under the lock: CAS against concurrent writers
         snap = self.current()
         units = [f"{epoch}:{b}" for b in replaced_buckets]
         if units and all(u in snap.fences for u in units):
@@ -391,6 +444,10 @@ class LakeTable:
 
         No data files are touched; readers reconcile at scan time.
         """
+        with commit_lock(self.root):
+            return self._evolve_locked(add_columns, widen)
+
+    def _evolve_locked(self, add_columns, widen) -> Snapshot:
         snap = self.current()
         new_schema = snap.schema.evolved(add_columns=add_columns, widen=widen)
         new_snap = Snapshot(

@@ -171,3 +171,43 @@ def test_dq_gate_aborts_before_commit(spark, tmpdir_clean, monkeypatch):
     assert_states_equal(
         state0, _collect_state(table.read(spark), ["tokens", "n_tok", "source"])
     )
+
+
+def test_old_schema_producer_after_evolution(spark, tmpdir_clean):
+    """Regression: after additive evolution, an epoch whose envelopes LACK
+    the new column must not wipe it from untouched rows (merge must keep
+    the union of payload columns)."""
+    table, wal, base = _setup(spark, tmpdir_clean, evolve_from_epoch=1)
+    ckpt = os.path.join(tmpdir_clean, "ckpt")
+    eng = CdcEngine(spark, table, wal, ckpt)
+    eng.run(max_epochs=2)  # epoch 0 (no lang), epoch 1 (adds lang)
+    with_lang = table.read(spark).filter(F.col("lang").isNotNull()).count()
+    assert with_lang > 0
+    # epoch 2+: hand-write an OLD-schema segment (no lang column)
+    env = generate_wal_epoch(spark, 4, 200, BASE_N, seed=42, max_len=32)
+    wal_dir = os.path.join(tmpdir_clean, "wal", "epoch-00004")
+    env.write.mode("overwrite").parquet(wal_dir)
+    eng.run()
+    df = table.read(spark)
+    assert "lang" in df.columns
+    # rows from epoch 1 untouched by epoch 4 must still carry their lang
+    assert df.filter(F.col("lang").isNotNull()).count() > 0
+
+
+def test_type_widening_from_envelopes(spark, tmpdir_clean):
+    """An envelope stream whose n_tok arrives as BIGINT widens the table
+    column via metadata-only DDL and applies cleanly."""
+    table, wal, base = _setup(spark, tmpdir_clean)
+    eng = CdcEngine(spark, table, wal, os.path.join(tmpdir_clean, "ckpt"))
+    eng.run(max_epochs=1)
+    env = generate_wal_epoch(spark, 5, 150, BASE_N, seed=42, max_len=32)
+    env = env.withColumn("n_tok", F.col("n_tok").cast("bigint"))
+    env.write.mode("overwrite").parquet(
+        os.path.join(tmpdir_clean, "wal", "epoch-00005")
+    )
+    eng.run()
+    snap = table.current()
+    assert ("n_tok", "bigint", True) in snap.schema.fields
+    df = table.read(spark)
+    assert dict(df.dtypes)["n_tok"] == "bigint"
+    assert df.filter("n_tok <> size(tokens)").count() == 0

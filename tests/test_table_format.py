@@ -126,3 +126,31 @@ def test_data_files_bucket_pure(spark, table):
             "_b", bucket_expr(snap.key_column, snap.num_buckets)
         ).filter(f"_b <> {f['bucket']}")
         assert bad.count() == 0, f"file {f['path']} impure"
+
+
+def test_commit_lock_excludes_concurrent_writer(spark, table):
+    from e_commerce_batch_etl_pipeline_spark.tables.format import (
+        ConcurrentCommitError,
+        commit_lock,
+    )
+
+    with commit_lock(table.root):
+        with pytest.raises(ConcurrentCommitError):
+            table.commit(epoch=99, replaced_buckets=[0], new_files=[],
+                         bucket_max_lsn={0: 1})
+    # lock released → commits proceed again
+    table.evolve_schema(add_columns=[("extra2", "int")])
+    assert ("extra2", "int", True) in table.current().schema.fields
+
+
+def test_stale_lock_broken(spark, table):
+    import os as _os
+    import time as _time
+
+    from e_commerce_batch_etl_pipeline_spark.tables.format import LOCK_FILE
+
+    lock = _os.path.join(table.root, "metadata", LOCK_FILE)
+    open(lock, "w").write("dead-writer")
+    _os.utime(lock, (_time.time() - 9999, _time.time() - 9999))
+    table.evolve_schema(add_columns=[("extra3", "int")])  # breaks stale lock
+    assert ("extra3", "int", True) in table.current().schema.fields
