@@ -994,8 +994,8 @@ FROM proj GROUP BY 1 ORDER BY vec_id
 
 def embed_ann_lsh_topk(spark, sf_dir):
     """Approximate NN: exact cosine only within the query's LSH bucket
-    (8 planes). Non-SQL-expressible composition — rows-only check here;
-    recall vs brute force is asserted in tests/test_similarity.py."""
+    (8 planes); recall vs brute force asserted in tests/test_similarity.py,
+    value parity against the full SQL re-derivation below."""
     from .operators.similarity import ann_lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -1375,3 +1375,54 @@ ORACLES.update({
     "dedup_embedding_neardup": ORACLE_EMBED_NEARDUP,
     "union_expand": ORACLE_UNION_EXPAND,
 })
+
+
+ORACLE_ANN_LSH = """
+WITH v AS (
+  SELECT vec_id, i::INT AS i,
+         floor(embedding[i::INT + 1] * 10000 + 0.5)::BIGINT AS x
+  FROM embeddings CROSS JOIN range(64) r(i)
+),
+wt AS (
+  SELECT p::INT AS plane, i::INT AS i,
+         CASE WHEN ('0x'||substr(md5(p::INT::VARCHAR || ':' || i::INT::VARCHAR),1,15))::BIGINT & 1 = 1
+              THEN 1 ELSE -1 END AS w
+  FROM range(8) a(p) CROSS JOIN range(64) b(i)
+),
+sig AS (
+  SELECT vec_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << plane) ELSE 0 END)::BIGINT AS bucket
+  FROM (SELECT vec_id, plane, sum(w * x) AS s
+        FROM v JOIN wt USING (i) GROUP BY 1, 2)
+  GROUP BY 1
+),
+q AS (
+  SELECT e.vec_id AS query_id,
+         list_transform(e.embedding, x -> floor(x*10000 + 0.5)::BIGINT) AS qq,
+         s.bucket
+  FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id
+  WHERE e.vec_id % 50 = 0
+),
+c AS (
+  SELECT e.vec_id AS nn_id,
+         list_transform(e.embedding, x -> floor(x*10000 + 0.5)::BIGINT) AS qv,
+         s.bucket
+  FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id
+),
+scored AS (
+  SELECT query_id, nn_id,
+         list_sum(list_transform(list_zip(qv, qq), p -> p[1] * p[2]))::BIGINT AS dot,
+         list_sum(list_transform(qv, x -> x * x))::BIGINT AS n2,
+         list_sum(list_transform(qq, x -> x * x))::BIGINT AS qn2
+  FROM c JOIN q USING (bucket)
+  WHERE nn_id <> query_id
+)
+SELECT query_id, rank, nn_id, dot FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY (dot / sqrt(n2::DOUBLE * qn2::DOUBLE)) DESC, nn_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+ORACLES["embed_ann_lsh_topk"] = ORACLE_ANN_LSH

@@ -73,3 +73,32 @@ def test_quantized_similarity_is_jvm_side(spark):
     )
     topk = cosine_topk(emb, q, k=3)
     assert_no_python_row_udf(topk, allow_arrow=False)
+
+
+def test_headline_query_plans(spark):
+    """Plan quality of headline queries: dims broadcast, filters reach the
+    scan, nothing row-serializes through Python."""
+    from e_commerce_batch_etl_pipeline_spark.queries import QUERIES
+    from e_commerce_batch_etl_pipeline_spark.plans import (
+        assert_broadcast_join,
+        assert_no_python_row_udf,
+        assert_pushed_filters,
+        physical_plan,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    # q1: shipdate filter pushed to parquet scan
+    assert_pushed_filters(QUERIES["q1_pricing_summary"](spark, sf), "l_shipdate")
+    # broadcast enrich: 3 dim joins all broadcast
+    plan = assert_broadcast_join(QUERIES["etl_broadcast_enrich"](spark, sf), expect=3)
+    assert "SortMergeJoin" not in plan
+    # topk: customer dim broadcast
+    assert_broadcast_join(QUERIES["etl_topk"](spark, sf), expect=1)
+    # entire inventory (minus the engine-running fixture): no BatchEvalPython
+    # anywhere except the sanctioned Arrow path in multimodal_meta
+    for name, q in QUERIES.items():
+        if name == "cdc_replay_engine":
+            continue  # runs the engine (side effects); covered by e2e tests
+        df = q(spark, sf)
+        allow_arrow = name == "multimodal_meta"
+        assert_no_python_row_udf(df, allow_arrow=allow_arrow)
