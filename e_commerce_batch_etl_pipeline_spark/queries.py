@@ -26,6 +26,10 @@ from .operators.merge import merge_upsert
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pin UTC on whatever session the driver hands us: year()/month()/
+    # window() are session-TZ dependent and the DuckDB oracle compares
+    # against naive-UTC timestamps. Runtime-settable, idempotent.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
