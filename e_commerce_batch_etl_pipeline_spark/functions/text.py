@@ -79,3 +79,45 @@ def rolling_fingerprint(text, window: int = 16):
         lambda i: md5int(text.substr(i, F.lit(window))),
     )
     return F.array_min(shingles)
+
+
+def zscore_by_group(df, group_col: str = "source", value_col: str = "n_chars",
+                    id_col: str = "doc_id"):
+    """Per-group z-score normalization via grouped-map applyInPandas
+    (the groupBy().applyInPandas surface — per-group pandas DataFrame in,
+    DataFrame out; Arrow both ways).
+
+    Deterministic cross-engine contract: mean/var are derived from exact
+    integer sums in a FIXED formula (mean = s/n; var = (ss - s*s/n)/n),
+    so any engine recomputing the same formula from the same ints gets
+    bit-identical doubles; the z output is floor-quantized to 1e-4.
+    """
+    import math
+
+    import pandas as pd
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[value_col].astype("int64")
+        n = int(len(x))
+        s = int(x.sum())
+        ss = int((x * x).sum())
+        mean = s / n
+        var = (ss - s * s / n) / n
+        std = math.sqrt(var) if var > 0 else 0.0
+        if std == 0.0:
+            zq = [0] * n
+        else:
+            zq = [math.floor((int(v) - mean) / std * 10000 + 0.5) for v in x]
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                group_col: pdf[group_col],
+                value_col: x,
+                "z_q": pd.array(zq, dtype="int64"),
+            }
+        )
+
+    schema = f"{id_col} long, {group_col} string, {value_col} long, z_q long"
+    return df.select(id_col, group_col, value_col).groupBy(group_col).applyInPandas(
+        per_group, schema
+    )

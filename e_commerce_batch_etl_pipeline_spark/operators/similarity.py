@@ -144,3 +144,67 @@ def ann_lsh_topk(df: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k)
         .select(qid_col, "rank", "nn_id", "dot")
     )
+
+
+def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding",
+               cent_id: str = "centroid_id") -> DataFrame:
+    """IVF coarse quantizer: assign each vector to its nearest centroid
+    (exact int cosine; deterministic argmax with id tiebreak).
+
+    Centroids are a small table — broadcast; assignment is a map-side
+    loop over the corpus (no shuffle of the corpus). At 10^9 vectors this
+    is the partitioner that turns ANN into per-cell local search.
+    """
+    corpus = df.select(
+        F.col(id_col), quantize(F.col(vec_col)).alias("qv")
+    ).withColumn("n2", norm2_q(F.col("qv")))
+    cents = centroids.select(
+        F.col(cent_id), quantize(F.col(vec_col)).alias("cv")
+    ).withColumn("cn2", norm2_q(F.col("cv")))
+    scored = (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("dot", dot_q(F.col("qv"), F.col("cv")))
+        .withColumn("cos", F.col("dot") / F.sqrt(F.col("n2") * F.col("cn2")))
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col(cent_id).asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, cent_id)
+    )
+
+
+def ann_ivf_topk(df: DataFrame, queries: DataFrame, centroids: DataFrame,
+                 k: int = 5, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 qid_col: str = "query_id") -> DataFrame:
+    """IVF ANN: exact cosine only within the query's centroid cell
+    (nprobe=1). The cell join replaces the cross join — the IVF
+    counterpart of ann_lsh_topk; recall/cost trades on centroid count."""
+    assign_c = ivf_assign(df, centroids, id_col, vec_col)
+    assign_q = ivf_assign(
+        queries.withColumnRenamed(qid_col, id_col), centroids, id_col, vec_col
+    ).withColumnRenamed(id_col, qid_col)
+    corpus = df.select(
+        F.col(id_col).alias("nn_id"), quantize(F.col(vec_col)).alias("qv")
+    ).withColumn("n2", norm2_q(F.col("qv"))).join(
+        assign_c.withColumnRenamed(id_col, "nn_id"), "nn_id"
+    )
+    qs = queries.select(
+        F.col(qid_col), quantize(F.col(vec_col)).alias("qq")
+    ).withColumn("qn2", norm2_q(F.col("qq"))).join(
+        F.broadcast(assign_q), qid_col
+    )
+    scored = (
+        corpus.join(F.broadcast(qs), "centroid_id")
+        .filter(F.col("nn_id") != F.col(qid_col))
+        .withColumn("dot", dot_q(F.col("qv"), F.col("qq")))
+        .withColumn("cos", F.col("dot") / F.sqrt(F.col("n2") * F.col("qn2")))
+    )
+    w = W.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col("nn_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", "nn_id", "dot")
+    )

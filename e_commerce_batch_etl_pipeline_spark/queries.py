@@ -1430,3 +1430,99 @@ SELECT query_id, rank, nn_id, dot FROM (
 """
 
 ORACLES["embed_ann_lsh_topk"] = ORACLE_ANN_LSH
+
+
+def embed_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (nprobe=1): centroids = every 25th vector (deterministic
+    coarse quantizer stand-in for trained centroids); exact cosine within
+    the query's cell. Completes the IVF-or-LSH scale-path pair."""
+    from .operators.similarity import ann_ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_ivf_topk(e, q, cents, k=5).orderBy("query_id", "rank")
+
+
+ORACLE_ANN_IVF = """
+WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x*10000 + 0.5)::BIGINT) AS qv
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, qv,
+         list_sum(list_transform(qv, x -> x * x))::BIGINT AS n2
+  FROM qz
+),
+cents AS (SELECT vec_id AS centroid_id, qv AS cv, n2 AS cn2 FROM n
+          WHERE vec_id % 25 = 0),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT a.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY (list_sum(list_transform(list_zip(a.qv, c.cv), p -> p[1]*p[2]))::BIGINT
+                       / sqrt(a.n2::DOUBLE * c.cn2::DOUBLE)) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM n a CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+corpus AS (
+  SELECT n.vec_id AS nn_id, n.qv, n.n2, assign.centroid_id
+  FROM n JOIN assign USING (vec_id)
+),
+qs AS (
+  SELECT n.vec_id AS query_id, n.qv AS qq, n.n2 AS qn2, assign.centroid_id
+  FROM n JOIN assign USING (vec_id)
+  WHERE n.vec_id % 50 = 0
+),
+scored AS (
+  SELECT query_id, nn_id,
+         list_sum(list_transform(list_zip(qv, qq), p -> p[1] * p[2]))::BIGINT AS dot,
+         n2, qn2
+  FROM corpus JOIN qs USING (centroid_id)
+  WHERE nn_id <> query_id
+)
+SELECT query_id, rank, nn_id, dot FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY (dot / sqrt(n2::DOUBLE * qn2::DOUBLE)) DESC, nn_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+QUERIES["embed_ann_ivf_topk"] = embed_ann_ivf_topk
+ORACLES["embed_ann_ivf_topk"] = ORACLE_ANN_IVF
+
+
+def text_zscore_by_source(spark, sf_dir):
+    """groupBy().applyInPandas grouped-map: per-source z-score of doc
+    length, floor-quantized from exact integer sums (formula-pinned so
+    the SQL oracle reproduces identical doubles)."""
+    from .functions.text import zscore_by_group
+
+    d = _t(spark, sf_dir, "documents")
+    return zscore_by_group(d).orderBy("doc_id")
+
+
+ORACLE_ZSCORE = """
+WITH stats AS (
+  SELECT source, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS s,
+         sum(n_chars::BIGINT * n_chars::BIGINT)::BIGINT AS ss
+  FROM documents GROUP BY 1
+)
+SELECT d.doc_id, d.source, d.n_chars::BIGINT AS n_chars,
+       CASE WHEN (ss - s*s/n)/n <= 0 THEN 0
+            ELSE floor((d.n_chars - s/n) / sqrt((ss - s*s/n)/n) * 10000 + 0.5)::BIGINT
+       END AS z_q
+FROM documents d JOIN stats USING (source)
+ORDER BY doc_id
+"""
+
+QUERIES["text_zscore_by_source"] = text_zscore_by_source
+ORACLES["text_zscore_by_source"] = ORACLE_ZSCORE

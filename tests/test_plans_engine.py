@@ -100,5 +100,5 @@ def test_headline_query_plans(spark):
         if name == "cdc_replay_engine":
             continue  # runs the engine (side effects); covered by e2e tests
         df = q(spark, sf)
-        allow_arrow = name == "multimodal_meta"
+        allow_arrow = name in ("multimodal_meta", "text_zscore_by_source")
         assert_no_python_row_udf(df, allow_arrow=allow_arrow)
