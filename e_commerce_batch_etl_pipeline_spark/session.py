@@ -49,6 +49,9 @@ def build_session(
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # custom Python DataSources (sources/wal_datasource.py) push
+        # epoch/lsn predicates down; off by default in Spark 4.1
+        "spark.sql.python.filterPushdown.enabled": "true",
         "spark.sql.parquet.compression.codec": "snappy",
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "16g"),

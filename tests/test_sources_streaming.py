@@ -173,3 +173,39 @@ def test_stateful_change_compactor(spark, tmpdir_clean):
     assert ("a", 5) not in got        # stale envelope swallowed by state
     assert got[("b", 12)] == "D"     # delete advanced past lsn 11
     assert got[("c", 13)] == "I"
+
+
+def test_wal_python_datasource(spark, tmpdir_clean):
+    """PySpark-4 custom Python DataSource: spark.read.format('wal') with
+    epoch-segment skipping and lsn row-group pruning via pushed filters."""
+    from e_commerce_batch_etl_pipeline_spark.sources.datagen import write_wal
+    from e_commerce_batch_etl_pipeline_spark.sources.wal_datasource import (
+        WalDataSource,
+    )
+
+    wal = os.path.join(tmpdir_clean, "wal")
+    write_wal(spark, wal, 3, 400, 300, seed=13, max_len=8)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(WalDataSource)
+    df = spark.read.format("wal").option("root", wal).load()
+    assert df.count() == 1200
+    # option-based incremental tail
+    df2 = (spark.read.format("wal").option("root", wal)
+           .option("after_epoch", "1").load())
+    assert df2.count() == 400
+    assert df2.agg(F.min("epoch")).collect()[0][0] == 2
+    # filter pushdown: epoch predicate skips whole segments
+    df3 = spark.read.format("wal").option("root", wal).load().filter(
+        F.col("epoch") > 1
+    )
+    assert df3.count() == 400
+    # lsn watermark predicate
+    df4 = spark.read.format("wal").option("root", wal).load().filter(
+        F.col("lsn") > 1150
+    )
+    assert df4.count() == 49
+    # parity with the plain parquet read
+    plain = spark.read.parquet(os.path.join(wal, "epoch-*")).filter(
+        "lsn > 1150"
+    )
+    assert df4.count() == plain.count()
