@@ -1526,3 +1526,68 @@ ORDER BY doc_id
 
 QUERIES["text_zscore_by_source"] = text_zscore_by_source
 ORACLES["text_zscore_by_source"] = ORACLE_ZSCORE
+
+
+def etl_dq_report(spark, sf_dir):
+    """The DQ report as data (X5/quality surface): 5 checks over lineitem
+    in ONE aggregation pass, statuses PASS/WARN/FAIL
+    (src/quality_checks.py:171-196 semantics, A4 efficiency)."""
+    li = _t(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.count(F.lit(1)).alias("m_rows"),
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)).alias("m_nullkey"),
+        (F.count(F.lit(1)) - F.count_distinct("l_orderkey", "l_linenumber")).alias("m_dups"),
+        F.sum(F.when(F.col("l_extendedprice") < 0, 1).otherwise(0)).alias("m_neg"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("m_badqty"),
+    ).collect()[0]
+    recs = [
+        ("row_count", "Volume", "PASS" if row["m_rows"] >= 1 else "FAIL",
+         int(row["m_rows"])),
+        ("null_keys", "Completeness",
+         "PASS" if row["m_nullkey"] == 0 else "FAIL", int(row["m_nullkey"])),
+        ("duplicate_keys", "Uniqueness",
+         "PASS" if row["m_dups"] == 0 else "FAIL", int(row["m_dups"])),
+        ("negative_price", "BusinessRule",
+         "PASS" if row["m_neg"] == 0 else "FAIL", int(row["m_neg"])),
+        ("nonpositive_qty", "BusinessRule",
+         "PASS" if row["m_badqty"] == 0 else "FAIL", int(row["m_badqty"])),
+    ]
+    return spark.createDataFrame(
+        recs, "check string, category string, status string, metric long"
+    ).orderBy("check")
+
+
+ORACLE_DQ_REPORT = """
+WITH m AS (
+  SELECT count(*) AS m_rows,
+         sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS m_nullkey,
+         count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS m_dups,
+         sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS m_neg,
+         sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS m_badqty
+  FROM lineitem
+)
+SELECT * FROM (
+  SELECT 'row_count' AS "check", 'Volume' AS category,
+         CASE WHEN m_rows >= 1 THEN 'PASS' ELSE 'FAIL' END AS status,
+         m_rows::BIGINT AS metric FROM m
+  UNION ALL
+  SELECT 'null_keys', 'Completeness',
+         CASE WHEN m_nullkey = 0 THEN 'PASS' ELSE 'FAIL' END,
+         m_nullkey::BIGINT FROM m
+  UNION ALL
+  SELECT 'duplicate_keys', 'Uniqueness',
+         CASE WHEN m_dups = 0 THEN 'PASS' ELSE 'FAIL' END,
+         m_dups::BIGINT FROM m
+  UNION ALL
+  SELECT 'negative_price', 'BusinessRule',
+         CASE WHEN m_neg = 0 THEN 'PASS' ELSE 'FAIL' END,
+         m_neg::BIGINT FROM m
+  UNION ALL
+  SELECT 'nonpositive_qty', 'BusinessRule',
+         CASE WHEN m_badqty = 0 THEN 'PASS' ELSE 'FAIL' END,
+         m_badqty::BIGINT FROM m
+) ORDER BY "check"
+"""
+
+QUERIES["etl_dq_report"] = etl_dq_report
+ORACLES["etl_dq_report"] = ORACLE_DQ_REPORT
