@@ -1591,3 +1591,63 @@ SELECT * FROM (
 
 QUERIES["etl_dq_report"] = etl_dq_report
 ORACLES["etl_dq_report"] = ORACLE_DQ_REPORT
+
+
+def json_extract_props(spark, sf_dir):
+    """JSON functions (§2.9-absent in the reference): get_json_object /
+    from_json over the events props column; k-value histogram."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .withColumn("k_bucket", (F.col("k") / 10).cast("int"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+ORACLE_JSON_PROPS = """
+WITH j AS (
+  SELECT json_extract_string(props, '$.k')::INT AS k FROM events
+)
+SELECT (k // 10)::INT AS k_bucket, count(*) AS n,
+       min(k) AS k_min, max(k) AS k_max
+FROM j GROUP BY 1 ORDER BY k_bucket
+"""
+
+
+def etl_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (§2.6-absent: percentile family):
+    median/p95 of order totals per status, floor-quantized to cents
+    (identical interpolation formula both engines)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.floor(F.expr("percentile(o_totalprice, 0.5)") * 100 + F.lit(0.5))
+            .cast("long").alias("p50_cents"),
+            F.floor(F.expr("percentile(o_totalprice, 0.95)") * 100 + F.lit(0.5))
+            .cast("long").alias("p95_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT o_orderstatus,
+       floor(quantile_cont(o_totalprice, 0.5) * 100 + 0.5)::BIGINT AS p50_cents,
+       floor(quantile_cont(o_totalprice, 0.95) * 100 + 0.5)::BIGINT AS p95_cents,
+       count(*) AS n
+FROM orders GROUP BY 1 ORDER BY o_orderstatus
+"""
+
+QUERIES["json_extract_props"] = json_extract_props
+ORACLES["json_extract_props"] = ORACLE_JSON_PROPS
+QUERIES["etl_percentiles"] = etl_percentiles
+ORACLES["etl_percentiles"] = ORACLE_PERCENTILES
