@@ -46,6 +46,10 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--salted", action="store_true",
                    help="two-stage salted LWW (for non-combinable "
                         "aggregation buffers; max_by doesn't need it)")
+    r.add_argument("--merge-mode", choices=["cow", "mor"], default="cow",
+                   help="copy-on-write (rewrite touched buckets) or "
+                        "merge-on-read (append delta files, O(changes) "
+                        "writes, lazy compaction)")
     r.add_argument("--strict-dq", action="store_true",
                    help="re-verify LWW key-uniqueness with an extra job")
     r.add_argument("--no-audit-quarantine", action="store_true",
@@ -91,6 +95,7 @@ def main(argv: list[str] | None = None) -> int:
         eng = CdcEngine(
             spark, LakeTable(args.table), WalSource(args.wal),
             args.checkpoint, salted=args.salted,
+            merge_mode=args.merge_mode,
             strict_dq=args.strict_dq,
             audit_quarantine=not args.no_audit_quarantine,
         )

@@ -113,7 +113,22 @@ class CdcEngine:
         broadcast_threshold: int = 100_000,
         audit_quarantine: bool = True,
         strict_dq: bool = False,
+        merge_mode: str = "cow",
+        mor_compact_files: int = 8,
     ):
+        """``merge_mode``:
+
+        - "cow" (copy-on-write, default): each epoch rewrites the touched
+          buckets via anti-join MERGE — reads stay plain scans.
+        - "mor" (merge-on-read): each epoch ADOPTS its staged deduped
+          change-set as per-bucket delta files (write cost O(changes),
+          never O(table)); readers resolve LWW at scan time; buckets are
+          compacted back to base files once they accumulate more than
+          ``mor_compact_files`` files. The right mode when per-epoch
+          changes are small relative to the table — the 10^10 steady
+          state — or when uniform change spread makes CoW rewrite the
+          whole table every epoch.
+        """
         self.spark = spark
         self.table = table
         self.wal = wal
@@ -123,6 +138,9 @@ class CdcEngine:
         self.broadcast_threshold = broadcast_threshold
         self.audit_quarantine = audit_quarantine
         self.strict_dq = strict_dq
+        assert merge_mode in ("cow", "mor")
+        self.merge_mode = merge_mode
+        self.mor_compact_files = mor_compact_files
         os.makedirs(checkpoint_dir, exist_ok=True)
         os.makedirs(os.path.join(checkpoint_dir, "lineage"), exist_ok=True)
         os.makedirs(os.path.join(checkpoint_dir, "quarantine"), exist_ok=True)
@@ -299,7 +317,51 @@ class CdcEngine:
                         f"DQ FAIL epoch {epoch}: duplicate keys after LWW dedup"
                     )
 
-            # 8. MERGE into touched buckets only (file-pruned base read)
+            # 8a. merge-on-read: the staged deduped change-set IS the
+            # delta content — adopt its bucket-pure files directly
+            # (driver-side move; write cost O(changes), never O(table)),
+            # publish, then compact any bucket that exceeded the delta
+            # budget (read-time LWW cost bound).
+            if self.merge_mode == "mor":
+                new_files = self.table.adopt_delta_files(stage_dir, touched)
+                self.table.commit(
+                    epoch=epoch,
+                    replaced_buckets=touched,
+                    new_files=new_files,
+                    bucket_max_lsn=bucket_max_lsn,
+                    rows_applied=rows_valid,
+                    props={"epoch": epoch, "mode": "mor"},
+                    delta=True,
+                )
+                from ..tables.maintenance import compact
+
+                compact(self.table, self.spark,
+                        max_files_per_bucket=self.mor_compact_files)
+                lineage = [
+                    {
+                        "epoch": epoch,
+                        "bucket": b,
+                        "lsn_max": s["max_lsn"],
+                        "rows_applied": s["rows"],
+                        "conflicts_epoch": conflicts,
+                    }
+                    for b, s in sorted(stats.items())
+                ]
+                self._emit_lineage(epoch, lineage, rows_valid, conflicts,
+                                   time.time() - t0, rows_valid)
+                return EpochResult(
+                    epoch=epoch,
+                    status="committed",
+                    rows_valid=rows_valid,
+                    conflicts=conflicts,
+                    rows_applied=rows_valid,
+                    buckets_touched=len(touched),
+                    duration_sec=time.time() - t0,
+                    lineage=lineage,
+                )
+
+            # 8b. copy-on-write MERGE into touched buckets only
+            # (file-pruned base read)
             base = self.table.read(self.spark, buckets=touched)
             payload = [c for c in dedup.columns if c != "_bucket"]
             merged = merge_upsert(

@@ -331,7 +331,8 @@ class LakeTable:
         target = snap.schema.to_struct()
         if not files:
             return spark.createDataFrame([], target)
-        paths = [os.path.join(self.root, f["path"]) for f in files]
+        base_files = [f for f in files if f.get("kind", "base") == "base"]
+        delta_files = [f for f in files if f.get("kind", "base") == "delta"]
         # Explicit schema: skips driver-side footer inference (saves ~2s
         # per read with many files — a serial cost that hurts scaling).
         # The parquet reader clips to the requested schema: columns absent
@@ -339,7 +340,45 @@ class LakeTable:
         # int32→int64 / float→double widening is upcast by the vectorized
         # reader (Spark 4 type-widening) — so old-schema files reconcile
         # without a per-file plan.
-        return spark.read.schema(target).parquet(*paths)
+        def scan(fs, schema):
+            paths = [os.path.join(self.root, f["path"]) for f in fs]
+            return spark.read.schema(schema).parquet(*paths)
+
+        if not delta_files:
+            return scan(base_files, target)
+
+        # merge-on-read: buckets with pending delta files resolve LWW at
+        # scan time (base rows get lsn=-1 — any delta beats the base; the
+        # latest delta per key wins; winner op=D drops the key). Buckets
+        # WITHOUT deltas scan clean and skip the merge entirely.
+        from ..operators.lww import lww_dedup
+
+        dirty = sorted({f["bucket"] for f in delta_files})
+        clean_base = [f for f in base_files if f["bucket"] not in dirty]
+        dirty_base = [f for f in base_files if f["bucket"] in dirty]
+        delta_schema = T.StructType(
+            list(target.fields)
+            + [T.StructField("op", T.StringType()), T.StructField("lsn", T.LongType())]
+        )
+        parts = []
+        if dirty_base:
+            parts.append(
+                scan(dirty_base, target)
+                .withColumn("op", F.lit("I"))
+                .withColumn("lsn", F.lit(-1).cast("long"))
+            )
+        parts.append(scan(delta_files, delta_schema))
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        resolved = (
+            lww_dedup(u, key=snap.key_column, order="lsn")
+            .filter(F.col("op") != "D")
+            .select(*[f.name for f in target.fields])
+        )
+        if clean_base:
+            resolved = resolved.unionByName(scan(clean_base, target))
+        return resolved
 
     # ---------- write path ----------
 
@@ -390,8 +429,16 @@ class LakeTable:
         bucket_max_lsn: dict[int, int],
         rows_applied: int = 0,
         props: dict | None = None,
+        delta: bool = False,
     ) -> Snapshot | None:
-        """Publish a new snapshot replacing ``replaced_buckets``' files.
+        """Publish a new snapshot for ``replaced_buckets``.
+
+        ``delta=False`` (copy-on-write): the buckets' previous files are
+        dereferenced and ``new_files`` replace them.
+        ``delta=True`` (merge-on-read): previous files stay live and
+        ``new_files`` (kind="delta", carrying op+lsn) are appended —
+        the epoch's write cost is O(changes), and readers resolve LWW at
+        scan time until compaction folds the deltas back into base files.
 
         Idempotent: if every (epoch, bucket) unit is already fenced, the
         call is a no-op returning None (replay safety). Atomicity: the
@@ -400,12 +447,12 @@ class LakeTable:
         with commit_lock(self.root):
             return self._commit_locked(
                 epoch, replaced_buckets, new_files, bucket_max_lsn,
-                rows_applied, props,
+                rows_applied, props, delta,
             )
 
     def _commit_locked(
         self, epoch, replaced_buckets, new_files, bucket_max_lsn,
-        rows_applied, props,
+        rows_applied, props, delta=False,
     ) -> Snapshot | None:
         # re-read under the lock: CAS against concurrent writers
         snap = self.current()
@@ -413,7 +460,11 @@ class LakeTable:
         if units and all(u in snap.fences for u in units):
             return None  # already applied — exactly-once fence
         replaced = set(replaced_buckets)
-        keep = [f for f in snap.files if f["bucket"] not in replaced]
+        if delta:
+            keep = list(snap.files)
+            new_files = [{**f, "kind": "delta"} for f in new_files]
+        else:
+            keep = [f for f in snap.files if f["bucket"] not in replaced]
         fences = dict(snap.fences)
         watermark = dict(snap.watermark)
         for b in replaced_buckets:
@@ -434,6 +485,36 @@ class LakeTable:
         )
         self._write_snapshot(new_snap)
         return new_snap
+
+    def adopt_delta_files(
+        self, stage_dir: str, buckets_touched: list[int] | None = None
+    ) -> list[dict]:
+        """Adopt bucket-pure staged files as delta files (merge-on-read).
+
+        The engine's staged dedup output IS the delta content (bucket-pure
+        via the aligned repartition, carries op+lsn) — adopting it is a
+        driver-side file move, so a MOR epoch writes the data exactly
+        once: O(changes), never O(table).
+        """
+        attempt = uuid.uuid4().hex[:12]
+        rel_dir = os.path.join("data", f"commit-{attempt}")
+        out_dir = os.path.join(self.root, rel_dir)
+        os.makedirs(out_dir, exist_ok=True)
+        wanted = set(buckets_touched) if buckets_touched is not None else None
+        entries = []
+        import shutil as _shutil
+
+        for fn in sorted(os.listdir(stage_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            b = int(fn.split("-")[1])
+            if _parquet_rows(os.path.join(stage_dir, fn)) == 0:
+                continue
+            if wanted is not None and b not in wanted:
+                continue
+            _shutil.move(os.path.join(stage_dir, fn), os.path.join(out_dir, fn))
+            entries.append({"path": os.path.join(rel_dir, fn), "bucket": b})
+        return entries
 
     def evolve_schema(
         self,

@@ -112,6 +112,7 @@ def verify(table: LakeTable, spark: SparkSession) -> dict:
 
     snap = table.current()
     missing = []
+    has_delta = any(f.get("kind", "base") == "delta" for f in snap.files)
     rows_by_bucket: dict[int, int] = {}
     for f in snap.files:
         p = os.path.join(table.root, f["path"])
@@ -138,7 +139,9 @@ def verify(table: LakeTable, spark: SparkSession) -> dict:
     ).collect()[0]
     ok = (
         not missing
-        and int(agg["rows"]) == sum(rows_by_bucket.values())
+        # physical row sums only equal logical rows when no deltas are
+        # pending (MOR resolves superseded/deleted rows at read time)
+        and (has_delta or int(agg["rows"]) == sum(rows_by_bucket.values()))
         and int(agg["rows"]) == int(agg["keys"])
         and int(agg["bad_ntok"] or 0) == 0
     )

@@ -211,3 +211,39 @@ def test_type_widening_from_envelopes(spark, tmpdir_clean):
     df = table.read(spark)
     assert dict(df.dtypes)["n_tok"] == "bigint"
     assert df.filter("n_tok <> size(tokens)").count() == 0
+
+
+@pytest.mark.parametrize("compact_files", [1, 100])
+def test_mor_golden_final_state(spark, tmpdir_clean, compact_files):
+    """Merge-on-read: delta commits + read-time LWW (+ forced compaction
+    when compact_files=1) reproduce the oracle state exactly."""
+    table, wal, base = _setup(spark, tmpdir_clean, evolve_from_epoch=2)
+    eng = CdcEngine(spark, table, wal, os.path.join(tmpdir_clean, "ckpt"),
+                    merge_mode="mor", mor_compact_files=compact_files)
+    results = eng.run()
+    assert all(r.status == "committed" for r in results)
+    payload = ["tokens", "n_tok", "source", "lang"]
+    expected = _oracle_state(base, wal, spark, payload)
+    actual = _collect_state(table.read(spark), payload)
+    assert_states_equal(expected, actual)
+    kinds = {f.get("kind", "base") for f in table.current().files}
+    if compact_files == 100:
+        assert "delta" in kinds  # deltas still pending
+    else:
+        assert kinds == {"base"}  # everything compacted back
+
+
+def test_mor_replay_idempotent_and_verify(spark, tmpdir_clean):
+    from e_commerce_batch_etl_pipeline_spark.tables.maintenance import verify
+
+    table, wal, base = _setup(spark, tmpdir_clean)
+    CdcEngine(spark, table, wal, os.path.join(tmpdir_clean, "c1"),
+              merge_mode="mor").run()
+    state1 = _collect_state(table.read(spark), ["tokens", "n_tok", "source"])
+    res = CdcEngine(spark, table, wal, os.path.join(tmpdir_clean, "c2"),
+                    merge_mode="mor").run()
+    assert all(r.status == "skipped" for r in res)
+    assert_states_equal(
+        state1, _collect_state(table.read(spark), ["tokens", "n_tok", "source"])
+    )
+    assert verify(table, spark)["ok"]
