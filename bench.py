@@ -127,7 +127,8 @@ def prepare_replay_input(spark, root: str) -> None:
     )
 
 
-def run_replay(spark, input_root: str, work_root: str) -> dict:
+def run_replay(spark, input_root: str, work_root: str,
+               merge_mode: str = "cow") -> dict:
     """Bootstrap + replay; returns sustained events/sec (replay loop only,
     bootstrap excluded per SURVEY.md §7.4 methodology)."""
     from e_commerce_batch_etl_pipeline_spark.sources.wal import WalSource
@@ -145,6 +146,7 @@ def run_replay(spark, input_root: str, work_root: str) -> dict:
         table,
         WalSource(os.path.join(input_root, "wal")),
         os.path.join(work_root, "ckpt"),
+        merge_mode=merge_mode,
     )
     eng.run(max_epochs=1)  # warm-up epoch: JIT + code paths, untimed
     t0 = time.time()
@@ -203,6 +205,10 @@ def main() -> None:
         rep = run_replay(spark_r, os.path.join(tmp, "input"),
                          os.path.join(tmp, f"run{REPLAY_CPUS}"))
         out["replay"] = {**rep, "master": f"local[{REPLAY_CPUS}]"}
+        rep_mor = run_replay(spark_r, os.path.join(tmp, "input"),
+                             os.path.join(tmp, f"mor{REPLAY_CPUS}"),
+                             merge_mode="mor")
+        out["replay_mor"] = {**rep_mor, "master": f"local[{REPLAY_CPUS}]"}
         spark_r.stop()
 
         # --- scaling: identical input at local[N] vs local[4N] ---
