@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from ..tables.format import LakeTable, TableSchema, bucket_expr
+from ..tables.format import LakeTable, TableSchema
 
 DOCS_SCHEMA = TableSchema(
     fields=[

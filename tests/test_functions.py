@@ -1,6 +1,5 @@
 """Text functions, token UDF plumbing, multimodal mapInPandas path."""
 
-import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 

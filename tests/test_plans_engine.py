@@ -4,7 +4,6 @@ broadcast of small change-sets."""
 
 import os
 
-import pytest
 from pyspark.sql import functions as F
 
 from e_commerce_batch_etl_pipeline_spark.functions.tokens import (

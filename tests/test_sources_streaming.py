@@ -7,7 +7,6 @@ import os
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.utils import AnalysisException
 
 from e_commerce_batch_etl_pipeline_spark.plans import (
     assert_no_python_row_udf,
@@ -100,8 +99,6 @@ def test_streaming_foreachbatch_exactly_once(spark, tmpdir_clean):
     from e_commerce_batch_etl_pipeline_spark.streaming.structured import (
         stream_apply,
     )
-    from e_commerce_batch_etl_pipeline_spark.tables.format import LakeTable
-
     base = generate_base_docs(spark, 300, seed=9, max_len=8)
     table = bootstrap_table(os.path.join(tmpdir_clean, "t"), base,
                             num_buckets=4)

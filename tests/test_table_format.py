@@ -7,14 +7,9 @@ import pytest
 
 from e_commerce_batch_etl_pipeline_spark.sources.datagen import generate_base_docs
 from e_commerce_batch_etl_pipeline_spark.streaming.bootstrap import (
-    DOCS_SCHEMA,
     bootstrap_table,
 )
-from e_commerce_batch_etl_pipeline_spark.tables.format import (
-    LakeTable,
-    TableSchema,
-    bucket_expr,
-)
+from e_commerce_batch_etl_pipeline_spark.tables.format import bucket_expr
 
 
 @pytest.fixture()
