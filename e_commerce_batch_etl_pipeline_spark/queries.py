@@ -46,7 +46,10 @@ def q1_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            # integer cents everywhere — double SUM is order-dependent and
+            # DuckDB returns HUGEINT for integer SUM, so both sides cast
+            F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long"))
+            .alias("sum_qty_cents"),
             F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
             .alias("sum_base_price_cents"),
             # exact integer arithmetic: cents * (100 - pct) — no float
@@ -55,8 +58,20 @@ def q1_pricing_summary(spark, sf_dir):
                 F.round(F.col("l_extendedprice") * 100, 0).cast("long")
                 * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
             ).alias("sum_disc_price_milli"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        # avg from exact ints: bigint/bigint is the same IEEE divide in
+        # both engines; *10 lifts cents→milli-qty before floor-quantize
+        .withColumn(
+            "avg_qty_milli",
+            F.floor(
+                F.col("sum_qty_cents") / F.col("count_order") * 10 + F.lit(0.5)
+            ).cast("long"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty_cents",
+            "sum_base_price_cents", "sum_disc_price_milli", "avg_qty_milli",
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -64,11 +79,12 @@ def q1_pricing_summary(spark, sf_dir):
 
 ORACLE_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                         AS sum_qty,
-       sum(round(l_extendedprice * 100, 0)::BIGINT)      AS sum_base_price_cents,
+       sum(round(l_quantity * 100, 0)::BIGINT)::BIGINT   AS sum_qty_cents,
+       sum(round(l_extendedprice * 100, 0)::BIGINT)::BIGINT AS sum_base_price_cents,
        sum(round(l_extendedprice * 100, 0)::BIGINT
-           * (100 - round(l_discount * 100, 0)::BIGINT))       AS sum_disc_price_milli,
-       round(avg(l_quantity), 2)                         AS avg_qty,
+           * (100 - round(l_discount * 100, 0)::BIGINT))::BIGINT AS sum_disc_price_milli,
+       floor(sum(round(l_quantity * 100, 0)::BIGINT)::BIGINT
+             / count(*) * 10 + 0.5)::BIGINT              AS avg_qty_milli,
        count(*)                                          AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -124,7 +140,7 @@ SELECT CASE WHEN total_milli < 1000 * 10000 THEN 'low'
             WHEN total_milli < 100000 * 10000 THEN 'high'
             ELSE 'very_high' END AS amount_bucket,
        count(*) AS n,
-       sum(total_milli) AS sum_total_milli
+       sum(total_milli)::BIGINT AS sum_total_milli
 FROM c GROUP BY 1 ORDER BY amount_bucket
 """
 
@@ -196,7 +212,7 @@ def etl_broadcast_enrich(spark, sf_dir):
 ORACLE_BROADCAST_ENRICH = """
 SELECT coalesce(r_name, 'Other') AS r_name,
        count(*) AS n_orders,
-       sum(round(o_totalprice * 100, 0)::BIGINT) AS revenue_cents
+       sum(round(o_totalprice * 100, 0)::BIGINT)::BIGINT AS revenue_cents
 FROM orders
 LEFT JOIN customer ON o_custkey = c_custkey
 LEFT JOIN nation   ON c_nationkey = n_nationkey
@@ -259,7 +275,7 @@ ORACLE_NULL_HANDLING = """
 SELECT coalesce(lang, 'unknown') AS lang,
        coalesce(source, 'unknown') AS source,
        count(*) AS n,
-       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_texts
+       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_texts
 FROM documents GROUP BY 1, 2 ORDER BY lang, source
 """
 
@@ -282,7 +298,8 @@ def etl_date_derived(spark, sf_dir):
 
 ORACLE_DATE_DERIVED = """
 SELECT year(o_orderdate) AS order_year, month(o_orderdate) AS order_month,
-       count(*) AS n_orders, sum(round(o_totalprice * 100, 0)::BIGINT) AS revenue_cents
+       count(*) AS n_orders,
+       sum(round(o_totalprice * 100, 0)::BIGINT)::BIGINT AS revenue_cents
 FROM orders GROUP BY 1, 2 ORDER BY order_year, order_month
 """
 
@@ -304,8 +321,8 @@ def etl_conditional_agg(spark, sf_dir):
 
 ORACLE_CONDITIONAL_AGG = """
 SELECT event_type, count(*) AS n,
-       sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS n_high,
-       sum(round(value * 100, 0)::BIGINT) AS sum_value_cents
+       sum(CASE WHEN value > 50 THEN 1 ELSE 0 END)::BIGINT AS n_high,
+       sum(round(value * 100, 0)::BIGINT)::BIGINT AS sum_value_cents
 FROM events GROUP BY 1 ORDER BY event_type
 """
 
@@ -331,7 +348,7 @@ def etl_topk(spark, sf_dir):
 
 ORACLE_TOPK = """
 SELECT o_custkey, c_name,
-       sum(round(o_totalprice * 100, 0)::BIGINT) AS revenue_cents,
+       sum(round(o_totalprice * 100, 0)::BIGINT)::BIGINT AS revenue_cents,
        count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY o_custkey, c_name
@@ -356,11 +373,11 @@ def etl_dq_null_counts(spark, sf_dir):
 
 ORACLE_DQ_NULL_COUNTS = """
 SELECT count(*) AS total_rows,
-       sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS nulls_doc_id,
-       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS nulls_text,
-       sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS nulls_lang,
-       sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS nulls_source,
-       sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS nulls_n_chars
+       sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls_doc_id,
+       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls_text,
+       sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls_lang,
+       sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls_source,
+       sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls_n_chars
 FROM documents
 """
 
@@ -569,8 +586,8 @@ def window_running_sum(spark, sf_dir):
 
 ORACLE_RUNNING_SUM = """
 SELECT event_id, user_id,
-       sum(round(value * 100, 0)::BIGINT)
-         OVER (PARTITION BY user_id ORDER BY event_id) AS running_cents
+       (sum(round(value * 100, 0)::BIGINT)
+         OVER (PARTITION BY user_id ORDER BY event_id))::BIGINT AS running_cents
 FROM events ORDER BY event_id
 """
 
@@ -600,7 +617,7 @@ WITH g AS (
   FROM events
 )
 SELECT user_id,
-       sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+       sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
        count(*) AS n_events
 FROM g GROUP BY user_id ORDER BY user_id
 """
@@ -629,7 +646,7 @@ def tumbling_window_agg(spark, sf_dir):
 ORACLE_TUMBLING = """
 SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS window_start,
        event_type, count(*) AS n,
-       sum(round(value * 100, 0)::BIGINT) AS sum_value_cents
+       sum(round(value * 100, 0)::BIGINT)::BIGINT AS sum_value_cents
 FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
 """
 
@@ -893,7 +910,7 @@ buckets AS (
   FROM bands GROUP BY 1, 2
 )
 SELECT band_id, count(*) AS n_buckets, max(bucket_size) AS max_bucket,
-       sum(CASE WHEN bucket_size > 1 THEN 1 ELSE 0 END) AS n_collision_buckets
+       sum(CASE WHEN bucket_size > 1 THEN 1 ELSE 0 END)::BIGINT AS n_collision_buckets
 FROM buckets GROUP BY 1 ORDER BY band_id
 """
 
@@ -1083,7 +1100,7 @@ def sql_over_files(spark, sf_dir):
 
 ORACLE_SQL_OVER_FILES = """
 SELECT o_orderpriority, count(*) AS n,
-       sum(round(o_totalprice * 100, 0)::BIGINT) AS revenue_cents
+       sum(round(o_totalprice * 100, 0)::BIGINT)::BIGINT AS revenue_cents
 FROM orders GROUP BY 1 ORDER BY o_orderpriority
 """
 
@@ -1106,7 +1123,7 @@ def temp_view_pipeline(spark, sf_dir):
 
 ORACLE_TEMP_VIEW = """
 SELECT l_returnflag, count(*) AS n,
-       sum(round(l_extendedprice * 100, 0)::BIGINT) AS sum_cents
+       sum(round(l_extendedprice * 100, 0)::BIGINT)::BIGINT AS sum_cents
 FROM lineitem WHERE l_quantity > 0
 GROUP BY 1 ORDER BY l_returnflag
 """
@@ -1163,9 +1180,9 @@ def pivot_status_by_priority(spark, sf_dir):
 
 ORACLE_PIVOT = """
 SELECT o_orderpriority,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_F,
-       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_O,
-       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_P
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_F,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_O,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_P
 FROM orders GROUP BY 1 ORDER BY o_orderpriority
 """
 
@@ -1188,7 +1205,7 @@ def rollup_revenue(spark, sf_dir):
 ORACLE_ROLLUP = """
 SELECT year(o_orderdate) AS order_year, o_orderstatus,
        count(*) AS n,
-       sum(round(o_totalprice * 100, 0)::BIGINT) AS revenue_cents
+       sum(round(o_totalprice * 100, 0)::BIGINT)::BIGINT AS revenue_cents
 FROM orders GROUP BY ROLLUP (order_year, o_orderstatus)
 ORDER BY order_year, o_orderstatus
 """
@@ -1364,7 +1381,7 @@ WITH u AS (
   SELECT user_id, 'v' AS kind FROM events WHERE event_type = 'view'
 )
 SELECT user_id, count(*) AS n,
-       sum(CASE WHEN kind = 'c' THEN 1 ELSE 0 END) AS n_clicks
+       sum(CASE WHEN kind = 'c' THEN 1 ELSE 0 END)::BIGINT AS n_clicks
 FROM u GROUP BY 1 ORDER BY user_id
 """
 

@@ -1,6 +1,15 @@
 """Local replica of the driver's correctness gate: run every queries()
-entry at sf0.001 and compare against its DuckDB oracle — row count,
-column names, and exact values (rows sorted, columns sorted by name)."""
+entry at sf0.001 and compare against its DuckDB oracle at the ARROW layer
+— row count, column names, Arrow column TYPES, and exact values (rows
+sorted, columns sorted by name, no float rounding).
+
+Round-1 lesson (VERDICT.md "What's wrong" #2): the old replica compared
+canonicalized Python values, where Decimal(3) == 3, so it never saw that
+DuckDB returns integer SUM() as HUGEINT (arrow decimal128) while Spark
+returns bigint — and 17 driver hash checks failed on type alone. This
+version compares `duckdb .arrow()` vs Spark `df.toArrow()` with types
+included so an uncast HUGEINT fails here before it fails at the driver.
+"""
 
 import math
 import os
@@ -26,25 +35,42 @@ def ddb():
     return con
 
 
-def _canon(rows, cols):
-    """Sort columns by name, then rows; normalize numerics."""
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
+def _norm_type(t):
+    """Arrow type → comparison token, mirroring the driver's observed
+    sensitivity (CORRECTNESS_r01 evidence): integer widths collapse
+    (int32 == int64 passed the driver), float widths collapse, but
+    decimal128 (DuckDB HUGEINT → Python Decimal) stays distinct from
+    int — that difference alone failed 17 driver hashes in round 1."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    return str(t)
+
+
+def _canon_arrow(tbl):
+    """(sorted col names, per-col normalized types, sorted row tuples)."""
+    cols = sorted(tbl.column_names)
+    tbl = tbl.select(cols)
+    types = [_norm_type(f.type) for f in tbl.schema]
+    rows = []
+    for r in zip(*(tbl.column(c).to_pylist() for c in cols)):
         vals = []
-        for i in idx:
-            v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 6)
-            if isinstance(v, bool):
-                v = int(v)
+        for v in r:
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
             vals.append(v)
-        out.append(tuple(vals))
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
-    return [cols[i] for i in idx], out
+        rows.append(tuple(vals))
+    rows.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return cols, types, rows
 
 
 QUERY_NAMES = sorted(entry_mod.queries().keys())
@@ -55,26 +81,29 @@ def test_query_matches_oracle(spark, ddb, name):
     q = entry_mod.queries()[name]
     oracles = entry_mod.oracle_sql()
     df = q(spark, SF_DIR)
-    spark_cols = df.columns
-    spark_rows = [tuple(r) for r in df.collect()]
+    spark_tbl = df.toArrow()
     if name not in oracles:
-        assert len(spark_rows) >= 0  # rows-only check
+        assert spark_tbl.num_rows >= 0  # rows-only check
         return
-    cur = ddb.execute(oracles[name])
-    ddb_cols = [d[0] for d in cur.description]
-    ddb_rows = cur.fetchall()
-    assert sorted(spark_cols) == sorted(ddb_cols), (
-        f"{name}: columns {sorted(spark_cols)} != {sorted(ddb_cols)}"
+    ddb_tbl = ddb.execute(oracles[name]).arrow()
+    s_cols, s_types, s_rows = _canon_arrow(spark_tbl)
+    d_cols, d_types, d_rows = _canon_arrow(ddb_tbl)
+    assert s_cols == d_cols, f"{name}: columns {s_cols} != {d_cols}"
+    assert s_types == d_types, (
+        f"{name}: arrow types differ (driver hash is type-sensitive): "
+        f"spark={dict(zip(s_cols, s_types))} "
+        f"oracle={dict(zip(d_cols, d_types))}"
     )
-    assert len(spark_rows) == len(ddb_rows), (
-        f"{name}: {len(spark_rows)} rows vs oracle {len(ddb_rows)}"
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: {len(s_rows)} rows vs oracle {len(d_rows)}"
     )
-    _, s = _canon(spark_rows, spark_cols)
-    _, d = _canon(ddb_rows, ddb_cols)
-    mismatches = [i for i, (a, b) in enumerate(zip(s, d)) if a != b]
+    mismatches = [
+        i for i, (a, b) in enumerate(zip(s_rows, d_rows))
+        if a != b or any(type(x) is not type(y) for x, y in zip(a, b))
+    ]
     assert not mismatches, (
         f"{name}: {len(mismatches)} mismatched rows; first: "
-        f"spark={s[mismatches[0]]} oracle={d[mismatches[0]]}"
+        f"spark={s_rows[mismatches[0]]} oracle={d_rows[mismatches[0]]}"
     )
 
 
