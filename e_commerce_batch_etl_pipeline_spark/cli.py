@@ -62,6 +62,9 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--keep-snapshots", type=int, default=10)
     m.add_argument("--gc", action="store_true",
                    help="also delete orphaned data files")
+    m.add_argument("--gc-min-age-sec", type=float, default=3600.0,
+                   help="never GC files younger than this (in-flight "
+                        "epoch staging safety)")
 
     args = p.parse_args(argv)
 
@@ -121,7 +124,10 @@ def main(argv: list[str] | None = None) -> int:
         snap = compact(table, spark,
                        max_files_per_bucket=args.max_files_per_bucket)
         dropped = expire_snapshots(table, keep_last=args.keep_snapshots)
-        removed = remove_orphans(table) if args.gc else []
+        removed = (
+            remove_orphans(table, min_age_sec=args.gc_min_age_sec)
+            if args.gc else []
+        )
         print(json.dumps({
             "compacted": snap is not None,
             "snapshots_expired": len(dropped),

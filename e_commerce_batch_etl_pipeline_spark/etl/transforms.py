@@ -58,9 +58,12 @@ def cast_types(df: DataFrame,
 
 
 def handle_nulls(df: DataFrame) -> DataFrame:
-    """src/transform.py:50-70 — drop rows missing critical keys, default
-    the rest (GUEST fill src/transform.py:62-65)."""
-    df = df.dropna(subset=["invoice_id", "stock_code"])
+    """src/transform.py:50-70 — drop rows missing critical keys AND null
+    quantity/unit_price (src/transform.py:60: measures are critical too —
+    dropping them here also keeps a null-quantity duplicate from winning
+    dedup_business_key and then being filtered away), default the rest
+    (GUEST fill src/transform.py:62-65)."""
+    df = df.dropna(subset=["invoice_id", "stock_code", "quantity", "unit_price"])
     df = df.withColumn(
         "customer_id",
         F.when(F.col("customer_id").isNull(), F.lit("GUEST")).otherwise(
@@ -87,11 +90,14 @@ def dedup_business_key(df: DataFrame) -> DataFrame:
 
 
 def filter_business_rules(df: DataFrame) -> DataFrame:
-    """src/transform.py:90-112 — positive qty/price, non-null description,
-    known country."""
+    """src/transform.py:90-112 — positive qty/price, parseable invoice
+    date (the reference requires invoice_date IS NOT NULL; unparseable
+    dates must not survive with null year/month/day), non-null
+    description, known country."""
     return df.filter(
         (F.col("quantity") > 0)
         & (F.col("unit_price") > 0)
+        & F.col("invoice_date").isNotNull()
         & F.col("description").isNotNull()
         & (F.col("country") != "Unspecified")
     )

@@ -24,26 +24,45 @@ def build_session(
 ) -> SparkSession:
     """Build a session tuned for the CDC replay workload.
 
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``).
-    On a real cluster, pass ``master=None`` and launch via spark-submit
-    --py-files; the builder then respects the submitted master.
+    ``master`` resolution (programmatic conf has the HIGHEST precedence,
+    so ``builder.master()`` would silently override ``spark-submit
+    --master`` — we only call it when a master was explicitly requested):
+    1. explicit ``master`` arg → honored;
+    2. ``SPARK_GRAFT_CPUS`` env → ``local[$SPARK_GRAFT_CPUS]``;
+    3. a master submitted via spark-submit / spark.master conf → honored
+       untouched (cluster launches run on the submitted master);
+    4. none of the above (plain ``python``) → ``local[*]``.
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
-        master = f"local[{cpus}]" if cpus else "local[*]"
+        if cpus:
+            master = f"local[{cpus}]"
+    if master is None:
+        # spark-submit publishes --master as the spark.master system
+        # property; SparkConf() picks it up. Only default to local[*]
+        # when nothing was submitted.
+        from pyspark import SparkConf
+
+        if not SparkConf().contains("spark.master"):
+            master = "local[*]"
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
     if shuffle_partitions is None:
-        # match parallelism; AQE coalesces small post-shuffle partitions
+        # match parallelism; AQE coalesces small post-shuffle partitions.
+        # On a submitted cluster master (master is None here) leave the
+        # submitter's --conf spark.sql.shuffle.partitions in charge.
         try:
-            n = int(master.split("[")[1].rstrip("]")) if "[" in master else 0
+            n = (
+                int(master.split("[")[1].rstrip("]"))
+                if master and "[" in master
+                else 0
+            )
         except ValueError:
             n = 0
-        shuffle_partitions = n if n > 0 else (os.cpu_count() or 8)
+        if master is not None:
+            shuffle_partitions = n if n > 0 else (os.cpu_count() or 8)
     conf = {
-        "spark.sql.shuffle.partitions": str(shuffle_partitions),
-        "spark.default.parallelism": str(shuffle_partitions),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -58,6 +77,9 @@ def build_session(
         # deterministic timestamp behavior for oracle comparison
         "spark.sql.datetime.java8API.enabled": "true",
     }
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+        conf["spark.default.parallelism"] = str(shuffle_partitions)
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -11,7 +11,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from ..tables.format import LakeTable, TableSchema
+# BOOTSTRAP_EPOCH re-exported: the table format pins the bootstrap epoch
+# so fence pruning can retain it forever (tables/format.py FENCE_KEEP_EPOCHS)
+from ..tables.format import BOOTSTRAP_EPOCH, LakeTable, TableSchema  # noqa: F401
 
 DOCS_SCHEMA = TableSchema(
     fields=[
@@ -21,8 +23,6 @@ DOCS_SCHEMA = TableSchema(
         ("source", "string", True),
     ]
 )
-
-BOOTSTRAP_EPOCH = -1
 
 
 def bootstrap_table(
@@ -39,7 +39,7 @@ def bootstrap_table(
                               num_buckets=num_buckets)
     )
     snap = table.current()
-    if any(k.startswith(f"{BOOTSTRAP_EPOCH}:") for k in snap.fences):
+    if snap.epoch_fenced(BOOTSTRAP_EPOCH):
         return table  # already bootstrapped — idempotent
     staged = base.select(*snap.schema.names())
     buckets = list(range(snap.num_buckets))

@@ -182,7 +182,7 @@ class CdcEngine:
         """Apply one WAL segment (fence-checked, idempotent)."""
         raw = None
         snap = self.table.current()
-        if not any(k.startswith(f"{epoch}:") for k in snap.fences):
+        if not snap.epoch_fenced(epoch):
             raw = self.wal.read_epoch(self.spark, epoch)
         return self.apply_changes_df(raw, epoch)
 
@@ -196,12 +196,10 @@ class CdcEngine:
         t0 = time.time()
         snap = self.table.current()
 
-        # 1. fence check — full-epoch replay is a no-op
-        if any(k.startswith(f"{epoch}:") for k in snap.fences):
-            committed = {
-                int(k.split(":")[1]) for k in snap.fences if k.startswith(f"{epoch}:")
-            }
-            # all buckets of this epoch fenced → skip (idempotent)
+        # 1. fence check — full-epoch replay is a no-op (epochs below the
+        # pruned fence horizon count as fenced; see Snapshot.epoch_fenced)
+        if snap.epoch_fenced(epoch):
+            committed = snap.fenced_buckets(epoch)
             return EpochResult(epoch=epoch, status="skipped",
                                buckets_touched=len(committed),
                                duration_sec=time.time() - t0)

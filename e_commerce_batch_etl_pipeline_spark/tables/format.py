@@ -46,6 +46,13 @@ from pyspark.sql import types as T
 VERSION_FILE = "VERSION"
 LOCK_FILE = "COMMIT_LOCK"
 LOCK_STALE_SEC = 300.0
+# fence retention horizon: keep the last N ingest epochs' (epoch, bucket)
+# fences verbatim; older ingest epochs collapse into min_fenced_epoch.
+# Negative epochs are special (bootstrap=-1, compaction=-(version+2));
+# the marker never applies to them: each compaction gets a fresh unique
+# epoch, and the bootstrap fence is retained forever (never pruned).
+FENCE_KEEP_EPOCHS = 64
+BOOTSTRAP_EPOCH = -1
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -140,9 +147,43 @@ class Snapshot:
     fences: dict[str, dict] = field(default_factory=dict)
     # per-bucket high LSN watermark: {"bucket": L}
     watermark: dict[str, int] = field(default_factory=dict)
+    # every epoch strictly below this is fenced (pruned fence horizon);
+    # None = no pruning has happened yet. Bounds fence-set growth to
+    # O(FENCE_KEEP_EPOCHS * buckets): without it, commit metadata and the
+    # per-epoch fence scan grow O(epochs * buckets) over the table's life.
+    # Pruning is LOSSLESS for correctness: LSNs are monotone with epochs,
+    # so a late replay of a pruned epoch is dropped row-by-row by the
+    # per-bucket watermark even without its fence entry.
+    min_fenced_epoch: int | None = None
     parent: int | None = None
     committed_at: float = 0.0
     props: dict = field(default_factory=dict)
+
+    def _below_horizon(self, epoch: int) -> bool:
+        # the pruned-fence marker covers INGEST epochs only (>= 0):
+        # LSN monotonicity backs it there; negative (bootstrap/compaction)
+        # epochs keep explicit fences or are never re-checked
+        return (
+            self.min_fenced_epoch is not None
+            and 0 <= epoch < self.min_fenced_epoch
+        )
+
+    def epoch_fenced(self, epoch: int) -> bool:
+        """True iff any (epoch, bucket) unit of ``epoch`` is committed."""
+        if self._below_horizon(epoch):
+            return True
+        pfx = f"{epoch}:"
+        return any(k.startswith(pfx) for k in self.fences)
+
+    def units_fenced(self, epoch: int, buckets) -> bool:
+        """True iff EVERY (epoch, bucket) unit is committed."""
+        if self._below_horizon(epoch):
+            return True
+        return all(f"{epoch}:{b}" in self.fences for b in buckets)
+
+    def fenced_buckets(self, epoch: int) -> set[int]:
+        pfx = f"{epoch}:"
+        return {int(k.split(":")[1]) for k in self.fences if k.startswith(pfx)}
 
     def to_json(self) -> dict:
         return {
@@ -153,6 +194,7 @@ class Snapshot:
             "files": self.files,
             "fences": self.fences,
             "watermark": self.watermark,
+            "min_fenced_epoch": self.min_fenced_epoch,
             "parent": self.parent,
             "committed_at": self.committed_at,
             "props": self.props,
@@ -168,6 +210,7 @@ class Snapshot:
             files=d["files"],
             fences=d["fences"],
             watermark=d["watermark"],
+            min_fenced_epoch=d.get("min_fenced_epoch"),
             parent=d.get("parent"),
             committed_at=d.get("committed_at", 0.0),
             props=d.get("props", {}),
@@ -187,31 +230,62 @@ def commit_lock(root: str):
     The snapshot log is single-writer by design (SURVEY.md §7.2); this
     turns the *assumption* into an enforced invariant: two engines
     committing to one table serialize or fail fast instead of silently
-    last-write-winning the VERSION pointer. Stale locks (crashed writer)
-    are broken after LOCK_STALE_SEC.
+    last-write-winning the VERSION pointer.
+
+    Stale locks (crashed writer) are taken over ATOMICALLY: the waiter
+    ``os.rename``s the stale lock to a unique claim name — only one of N
+    racing waiters wins the rename (the losers get ENOENT) — then
+    recreates the lock with O_EXCL. Release verifies ownership (the lock
+    body carries a per-acquisition token) so a waiter that legitimately
+    took over a stale lock is never unlocked by the crashed owner's
+    ``finally``.
     """
     path = os.path.join(root, "metadata", LOCK_FILE)
-    try:
+    token = f"{os.getpid()}:{uuid.uuid4().hex}"
+
+    def _acquire():
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, f"{token} {time.time()}".encode())
+        os.close(fd)
+
+    try:
+        _acquire()
     except FileExistsError:
         try:
             age = time.time() - os.path.getmtime(path)
         except OSError:
             age = 0.0
-        if age > LOCK_STALE_SEC:
-            os.remove(path)  # break stale lock from a crashed writer
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        else:
+        if age <= LOCK_STALE_SEC:
             raise ConcurrentCommitError(
                 f"commit lock held ({path}, age {age:.0f}s)"
             ) from None
+        # stale: claim it via atomic rename — exactly one waiter succeeds
+        claim = f"{path}.stale.{uuid.uuid4().hex}"
+        try:
+            os.rename(path, claim)
+        except OSError:
+            raise ConcurrentCommitError(
+                f"commit lock takeover lost ({path})"
+            ) from None
+        try:
+            os.remove(claim)
+        except OSError:
+            pass
+        try:
+            _acquire()
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"commit lock re-taken during takeover ({path})"
+            ) from None
     try:
-        os.write(fd, f"{os.getpid()} {time.time()}".encode())
-        os.close(fd)
         yield
     finally:
+        # release only if we still own it (takeover-safe)
         try:
-            os.remove(path)
+            with open(path) as f:
+                owner = f.read().split(" ", 1)[0]
+            if owner == token:
+                os.remove(path)
         except OSError:
             pass
 
@@ -456,8 +530,7 @@ class LakeTable:
     ) -> Snapshot | None:
         # re-read under the lock: CAS against concurrent writers
         snap = self.current()
-        units = [f"{epoch}:{b}" for b in replaced_buckets]
-        if units and all(u in snap.fences for u in units):
+        if replaced_buckets and snap.units_fenced(epoch, replaced_buckets):
             return None  # already applied — exactly-once fence
         replaced = set(replaced_buckets)
         if delta:
@@ -471,6 +544,21 @@ class LakeTable:
             ml = int(bucket_max_lsn.get(b, watermark.get(str(b), -1)))
             fences[f"{epoch}:{b}"] = {"max_lsn": ml}
             watermark[str(b)] = max(int(watermark.get(str(b), -1)), ml)
+        # prune the fence horizon: keep the newest FENCE_KEEP_EPOCHS
+        # ingest epochs; older ingest epochs + old compaction fences
+        # collapse into min_fenced_epoch (bootstrap's fence is kept)
+        min_fenced = snap.min_fenced_epoch
+        ingest_epochs = sorted(
+            {e for e in (int(k.split(":")[0]) for k in fences) if e >= 0}
+        )
+        if len(ingest_epochs) > FENCE_KEEP_EPOCHS:
+            cutoff = ingest_epochs[-FENCE_KEEP_EPOCHS]
+            fences = {
+                k: v for k, v in fences.items()
+                if int(k.split(":")[0]) >= cutoff
+                or int(k.split(":")[0]) == BOOTSTRAP_EPOCH
+            }
+            min_fenced = max(min_fenced, cutoff) if min_fenced is not None else cutoff
         new_snap = Snapshot(
             version=snap.version + 1,
             schema=snap.schema,
@@ -479,6 +567,7 @@ class LakeTable:
             files=keep + new_files,
             fences=fences,
             watermark=watermark,
+            min_fenced_epoch=min_fenced,
             parent=snap.version,
             committed_at=time.time(),
             props={**snap.props, **(props or {}), "rows_applied": rows_applied},
@@ -539,6 +628,7 @@ class LakeTable:
             files=snap.files,
             fences=snap.fences,
             watermark=snap.watermark,
+            min_fenced_epoch=snap.min_fenced_epoch,
             parent=snap.version,
             committed_at=time.time(),
             props=snap.props,

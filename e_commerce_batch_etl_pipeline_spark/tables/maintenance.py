@@ -71,29 +71,56 @@ def expire_snapshots(table: LakeTable, keep_last: int = 5) -> list[int]:
     return to_drop
 
 
-def remove_orphans(table: LakeTable) -> list[str]:
-    """Delete data files/dirs no retained snapshot references."""
-    live: set[str] = set()
-    for v in table.history():
-        snap = table.snapshot_at(v)
-        live.update(f["path"] for f in snap.files)
-    data_root = os.path.join(table.root, "data")
+def remove_orphans(
+    table: LakeTable, min_age_sec: float = 3600.0
+) -> list[str]:
+    """Delete data files/dirs no retained snapshot references.
+
+    Concurrency safety (an in-flight epoch stages files BEFORE its commit
+    publishes them, so "unreferenced" is not "orphaned"):
+    - holds the commit lock while computing the live set and deleting, so
+      no commit can publish between the scan and the rm;
+    - skips anything younger than ``min_age_sec`` — staged files of an
+      epoch whose writer is alive but not yet at its commit call (the
+      lock alone can't see those).
+    """
+    import time
+
+    from .format import commit_lock
+
     removed = []
-    for commit_dir in sorted(os.listdir(data_root)):
-        cdir = os.path.join(data_root, commit_dir)
-        if not os.path.isdir(cdir):
-            continue
-        rels = [
-            os.path.join("data", commit_dir, fn)
-            for fn in os.listdir(cdir)
-            if fn.endswith(".parquet")
-        ]
-        if rels and all(r not in live for r in rels):
-            shutil.rmtree(cdir)
-            removed.extend(rels)
-        else:
-            for r in rels:
-                if r not in live:
+    with commit_lock(table.root):
+        live: set[str] = set()
+        for v in table.history():
+            snap = table.snapshot_at(v)
+            live.update(f["path"] for f in snap.files)
+        data_root = os.path.join(table.root, "data")
+        now = time.time()
+
+        def _old_enough(path: str) -> bool:
+            try:
+                return now - os.path.getmtime(path) >= min_age_sec
+            except OSError:
+                return False  # vanished → another actor owns it; skip
+
+        for commit_dir in sorted(os.listdir(data_root)):
+            cdir = os.path.join(data_root, commit_dir)
+            if not os.path.isdir(cdir):
+                continue
+            rels = [
+                os.path.join("data", commit_dir, fn)
+                for fn in os.listdir(cdir)
+                if fn.endswith(".parquet")
+            ]
+            dead = [
+                r for r in rels
+                if r not in live and _old_enough(os.path.join(table.root, r))
+            ]
+            if rels and len(dead) == len(rels) and _old_enough(cdir):
+                shutil.rmtree(cdir)
+                removed.extend(rels)
+            else:
+                for r in dead:
                     os.remove(os.path.join(table.root, r))
                     removed.append(r)
     return removed

@@ -57,7 +57,9 @@ def test_expire_and_orphan_gc(spark, replayed):
     replayed.write_data_files(orphan_src, [0, 1, 2, 3])
     dropped = expire_snapshots(replayed, keep_last=1)
     assert dropped
-    removed = remove_orphans(replayed)
+    # default safety age would skip the seconds-old orphan; force for test
+    assert remove_orphans(replayed) == []  # age gate protects fresh files
+    removed = remove_orphans(replayed, min_age_sec=0)
     assert removed  # old bucket files + the orphan attempt
     assert _state(spark, replayed) == before
     # every remaining manifest file exists on disk

@@ -149,3 +149,67 @@ def test_stale_lock_broken(spark, table):
     _os.utime(lock, (_time.time() - 9999, _time.time() - 9999))
     table.evolve_schema(add_columns=[("extra3", "int")])  # breaks stale lock
     assert ("extra3", "int", True) in table.current().schema.fields
+
+
+def test_stale_lock_takeover_is_ownership_safe(spark, table):
+    """A waiter that takes over a stale lock must hold a lock the original
+    owner's release path cannot remove (token-verified release)."""
+    import os as _os
+    import time as _time
+
+    from e_commerce_batch_etl_pipeline_spark.tables.format import (
+        LOCK_FILE,
+        commit_lock,
+    )
+
+    lock = _os.path.join(table.root, "metadata", LOCK_FILE)
+    open(lock, "w").write("stale-token 0.0")
+    _os.utime(lock, (_time.time() - 9999, _time.time() - 9999))
+    with commit_lock(table.root):
+        # takeover succeeded; the new lock carries the new owner's token
+        owner = open(lock).read().split(" ", 1)[0]
+        assert owner != "stale-token"
+        # the crashed owner's finally (token mismatch) must NOT unlock us:
+        # simulate it by checking ownership the way release does
+        assert open(lock).read().split(" ", 1)[0] == owner
+    assert not _os.path.exists(lock)  # released by the rightful owner
+
+
+def test_fence_pruning_bounds_metadata(spark, table):
+    """Commits beyond FENCE_KEEP_EPOCHS prune old ingest fences into the
+    min_fenced_epoch marker; pruned epochs still read as fenced and
+    negative (bootstrap/compaction) epochs are unaffected."""
+    from e_commerce_batch_etl_pipeline_spark.tables import format as fmt
+
+    old_keep = fmt.FENCE_KEEP_EPOCHS
+    fmt.FENCE_KEEP_EPOCHS = 8
+    try:
+        for e in range(20):
+            table.commit(
+                epoch=e, replaced_buckets=[0], new_files=[],
+                bucket_max_lsn={0: e}, delta=True,
+            )
+        snap = table.current()
+        ingest = {int(k.split(":")[0]) for k in snap.fences
+                  if int(k.split(":")[0]) >= 0}
+        assert len(ingest) <= 8
+        assert snap.min_fenced_epoch == 12  # epochs 0..11 pruned
+        # pruned epochs are still fenced (replay is a no-op)
+        assert snap.epoch_fenced(0) and snap.units_fenced(3, [0])
+        assert table.commit(epoch=5, replaced_buckets=[0], new_files=[],
+                            bucket_max_lsn={0: 5}) is None
+        # bootstrap fence survives pruning verbatim
+        assert any(k.startswith("-1:") for k in snap.fences)
+        # negative epochs are NOT covered by the marker: a new compaction
+        # epoch (negative, unique) must still commit
+        v = snap.version
+        out = table.commit(
+            epoch=-(v + 2), replaced_buckets=[0], new_files=[],
+            bucket_max_lsn={0: int(snap.watermark.get("0", -1))},
+            props={"compaction": True},
+        )
+        assert out is not None and out.version == v + 1
+        # watermark still carries row-level idempotency for pruned epochs
+        assert int(table.current().watermark["0"]) == 19
+    finally:
+        fmt.FENCE_KEEP_EPOCHS = old_keep
