@@ -66,8 +66,144 @@ def default_checks(
     ]
 
 
-def check_schema(df: DataFrame, expected: list[str]) -> dict:
-    """Schema check (names; src/quality_checks.py:83-113)."""
+def null_threshold_checks(thresholds: dict[str, float]) -> list[DQCheck]:
+    """Per-column null-percentage checks from a {column: max_null_frac}
+    dict (notebooks/03_data_quality.py:132-178). Reference bands kept:
+    PASS at or under the threshold, WARN up to 2x, FAIL beyond — one
+    metric expr per column, all folded into the single agg pass."""
+    return [
+        DQCheck(
+            f"null_pct_{col}", "Completeness",
+            F.avg(F.when(F.col(col).isNull(), 1.0).otherwise(0.0)),
+            passes=lambda v, t=thr: v is not None and v <= 2 * t,
+            warn=lambda v, t=thr: v is not None and v > t,
+        )
+        for col, thr in thresholds.items()
+    ]
+
+
+def membership_check(
+    col: str, allowed: list[str], fail: bool = False
+) -> DQCheck:
+    """Valid-set membership rule (notebooks/03_data_quality.py:347-350
+    valid_order_status): count of rows outside ``allowed``. The reference
+    treats violations as WARN by default; pass ``fail=True`` to gate."""
+    metric = F.sum(
+        F.when(~F.col(col).isin(allowed), 1).otherwise(0)
+    )
+    if fail:
+        return DQCheck(f"valid_{col}", "BusinessRule", metric,
+                       passes=lambda v: v == 0)
+    return DQCheck(f"valid_{col}", "BusinessRule", metric,
+                   passes=lambda v: True, warn=lambda v: v > 0)
+
+
+def range_check(
+    col: str, lo: float, hi: float, fail: bool = True
+) -> DQCheck:
+    """Numeric range rule (notebooks/03:317-341 order_year/discount_pct
+    ranges): count of rows outside [lo, hi]."""
+    metric = F.sum(
+        F.when((F.col(col) < lo) | (F.col(col) > hi), 1).otherwise(0)
+    )
+    if fail:
+        return DQCheck(f"range_{col}", "BusinessRule", metric,
+                       passes=lambda v: v == 0)
+    return DQCheck(f"range_{col}", "BusinessRule", metric,
+                   passes=lambda v: True, warn=lambda v: v > 0)
+
+
+def future_date_check(col: str) -> DQCheck:
+    """No timestamps in the future (the reference's future-date rule —
+    order dates beyond 'now' signal clock skew or bad parses)."""
+    return DQCheck(
+        f"no_future_{col}", "BusinessRule",
+        F.sum(F.when(F.col(col) > F.current_timestamp(), 1).otherwise(0)),
+        passes=lambda v: v == 0,
+    )
+
+
+def banded_row_count(min_expected: int) -> DQCheck:
+    """Volume check with the reference's WARN band
+    (notebooks/03:94-129): PASS at or above ``min_expected``, WARN down
+    to 80% of it, FAIL below."""
+    return DQCheck(
+        "row_count", "Volume",
+        F.count(F.lit(1)),
+        passes=lambda v, m=min_expected: v >= 0.8 * m,
+        warn=lambda v, m=min_expected: v < m,
+    )
+
+
+def reference_checks(
+    min_rows: int = 1,
+    key_cols: tuple[str, str] = ("invoice_id", "stock_code"),
+) -> list[DQCheck]:
+    """The reference's full rule catalog (18 checks / 5 categories:
+    src/quality_checks.py:18-168 + notebooks/03_data_quality.py:94-357)
+    over the curated invoice shape — 17 agg-pass checks here plus the
+    dtype schema check run_checks appends when given EXPECTED_TYPES."""
+    k1, k2 = key_cols
+    return [
+        banded_row_count(min_rows),
+        *null_threshold_checks({
+            "invoice_id": 0.0, "stock_code": 0.0, "quantity": 0.0,
+            "unit_price": 0.0, "invoice_date": 0.0,
+            "total_amount": 0.02,  # reference allows up to 2% null
+            "customer_id": 0.0,  # post-GUEST-fill: must be none
+            "country": 0.05, "description": 0.05,
+        }),
+        DQCheck(
+            "duplicate_keys", "Uniqueness",
+            F.count(F.lit(1)) - F.count_distinct(F.col(k1), F.col(k2)),
+            lambda v: v == 0,
+        ),
+        DQCheck(
+            "quantity_positive", "BusinessRule",
+            F.sum(F.when(F.col("quantity") <= 0, 1).otherwise(0)),
+            lambda v: v == 0,
+        ),
+        DQCheck(
+            "unit_price_positive", "BusinessRule",
+            F.sum(F.when(F.col("unit_price") <= 0, 1).otherwise(0)),
+            lambda v: v == 0,
+        ),
+        DQCheck(
+            "total_amount_positive", "BusinessRule",
+            F.sum(F.when(F.col("total_amount") <= 0, 1).otherwise(0)),
+            # reference treats nonpositive totals as WARN
+            # (src/quality_checks.py:127-129)
+            passes=lambda v: True, warn=lambda v: v > 0,
+        ),
+        range_check("invoice_year", 2009, 2025, fail=True),
+        future_date_check("invoice_date"),
+        membership_check(
+            "price_bucket",
+            ["very_low", "low", "medium", "high", "premium"],
+        ),
+    ]
+
+
+def check_schema(df: DataFrame, expected) -> dict:
+    """Schema check. ``expected`` as a list checks column NAMES
+    (src/quality_checks.py:83-113); as a {name: dtype} dict it also
+    checks simpleString dtypes (notebooks/03_data_quality.py:248-259 —
+    catches upstream type drift, e.g. a column arriving as string)."""
+    if isinstance(expected, dict):
+        actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        missing = [c for c in expected if c not in actual]
+        wrong = [
+            f"{c}:{actual[c]}!={t}"
+            for c, t in expected.items()
+            if c in actual and actual[c] != t
+        ]
+        extra = [c for c in actual if c not in expected]
+        status = "PASS" if not missing and not wrong else "FAIL"
+        return {
+            "check": "schema_types", "category": "Schema", "status": status,
+            "metric": float(len(missing) + len(wrong)),
+            "detail": f"missing={missing} wrong={wrong} extra={extra}",
+        }
     missing = [c for c in expected if c not in df.columns]
     extra = [c for c in df.columns if c not in expected]
     status = "PASS" if not missing else "FAIL"

@@ -33,6 +33,16 @@ FINAL_COLUMNS = [
     "invoice_day", "customer_id", "country", "is_return", "price_bucket",
 ]
 
+# dtype contract of the curated output (the DQ dtype-match schema check —
+# notebooks/03_data_quality.py:248-259 — validates against this)
+EXPECTED_TYPES = {
+    "invoice_id": "string", "stock_code": "string", "description": "string",
+    "quantity": "int", "unit_price": "double", "total_amount": "double",
+    "invoice_date": "timestamp", "invoice_year": "int",
+    "invoice_month": "int", "invoice_day": "int", "customer_id": "string",
+    "country": "string", "is_return": "boolean", "price_bucket": "string",
+}
+
 
 def rename_columns(df: DataFrame, renames: dict[str, str] = None) -> DataFrame:
     """src/transform.py:10-27."""

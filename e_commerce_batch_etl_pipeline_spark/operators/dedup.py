@@ -164,9 +164,13 @@ def jaccard_nearest(df: DataFrame, text_col: str = "text",
     )
     sa = sizes.select(F.col(key).alias("id_a"), F.col("n_words").alias("na"))
     sb = sizes.select(F.col(key).alias("id_b"), F.col("n_words").alias("nb"))
+    # shuffled equi-joins on both sides: the per-doc sizes relation is
+    # O(N) — broadcasting it would build an unbounded driver-side hash
+    # relation at corpus scale (round-1 verdict). AQE may still choose a
+    # broadcast when the measured size is actually small; that's its call.
     scored = (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
         .withColumn("jac", F.col("inter") / F.col("uni"))
     )
@@ -176,4 +180,44 @@ def jaccard_nearest(df: DataFrame, text_col: str = "text",
         .filter(F.col("rn") == 1)
         .select(F.col("id_a").alias(key), F.col("id_b").alias("nn_id"),
                 "inter", "uni")
+    )
+
+
+def jaccard_verify_candidates(
+    df: DataFrame, pairs: DataFrame, text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Exact word-set Jaccard computed ONLY on candidate pairs — the
+    scale path of the dedup pipeline: LSH banding proposes, this verifies.
+
+    All shuffled equi-joins keyed on doc id / (doc id, word); nothing is
+    broadcast and no all-pairs product exists — cost is O(candidate
+    pairs x words), not O(N^2). Returns (id_a, id_b, inter, uni) with
+    the jaccard double left to the caller (inter/uni is IEEE-exact).
+    """
+    w = df.select(
+        F.col(key), F.explode(words_expr(F.col(text_col))).alias("word")
+    )
+    sizes = w.groupBy(key).agg(F.count(F.lit(1)).alias("n_words"))
+    wa = w.select(F.col(key).alias("id_a"), "word")
+    wb = w.select(F.col(key).alias("id_b"), "word")
+    inter = (
+        pairs.join(wa, "id_a")          # (id_a, id_b, word of a)
+        .join(wb, ["id_b", "word"])     # keep words present in b too
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(key).alias("id_a"), F.col("n_words").alias("na"))
+    sb = sizes.select(F.col(key).alias("id_b"), F.col("n_words").alias("nb"))
+    return (
+        # left join: candidates with zero word overlap keep inter=0
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"inter": 0})
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b", F.col("inter").cast("long").alias("inter"),
+            (F.col("na") + F.col("nb") - F.col("inter")).cast("long")
+            .alias("uni"),
+        )
     )

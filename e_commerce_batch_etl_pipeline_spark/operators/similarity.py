@@ -78,11 +78,15 @@ def cosine_topk(df: DataFrame, queries: DataFrame, k: int = 5,
 
 def hyperplane_signature(df: DataFrame, id_col: str = "vec_id",
                          vec_col: str = "embedding",
-                         planes: int = 16) -> DataFrame:
+                         planes: int = 16, dim: int | None = None) -> DataFrame:
     """Random-hyperplane LSH signature: bit p = (sum_i w(p,i)*x_i) > 0
-    where w(p,i) = ±1 from md5(p:i). Map-only, deterministic."""
+    where w(p,i) = ±1 from md5(p:i). Map-only, deterministic.
+
+    Pass ``dim`` when known (callers usually know it) — the fallback
+    ``first()`` probe costs a driver-side job per invocation."""
     spark = df.sparkSession
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     # weight table (planes × dim) is tiny — broadcast
     wt = spark.range(planes).crossJoin(spark.range(dim).withColumnRenamed("id", "i"))
     wt = wt.select(
@@ -113,16 +117,18 @@ def hyperplane_signature(df: DataFrame, id_col: str = "vec_id",
 
 def ann_lsh_topk(df: DataFrame, queries: DataFrame, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 qid_col: str = "query_id", planes: int = 8) -> DataFrame:
+                 qid_col: str = "query_id", planes: int = 8,
+                 dim: int | None = None) -> DataFrame:
     """Approximate top-k: exact cosine only within the query's LSH bucket.
 
     The bucket join replaces the cross join — at 10^9 vectors with b
     bits, candidate sets shrink ~2^-b. Recall measured in tests vs the
     brute-force baseline.
     """
-    sig = hyperplane_signature(df, id_col, vec_col, planes)
+    sig = hyperplane_signature(df, id_col, vec_col, planes, dim=dim)
     qsig = hyperplane_signature(
-        queries.withColumnRenamed(qid_col, id_col), id_col, vec_col, planes
+        queries.withColumnRenamed(qid_col, id_col), id_col, vec_col, planes,
+        dim=dim,
     ).withColumnRenamed(id_col, qid_col)
     corpus = df.select(
         F.col(id_col).alias("nn_id"), quantize(F.col(vec_col)).alias("qv")

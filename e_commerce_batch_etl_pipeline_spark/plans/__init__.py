@@ -1,5 +1,6 @@
 from .explain import (
     assert_broadcast_join,
+    assert_no_broadcast_hint,
     assert_no_python_row_udf,
     assert_pushed_filters,
     physical_plan,
@@ -7,6 +8,7 @@ from .explain import (
 
 __all__ = [
     "assert_broadcast_join",
+    "assert_no_broadcast_hint",
     "assert_no_python_row_udf",
     "assert_pushed_filters",
     "physical_plan",

@@ -52,6 +52,22 @@ def assert_broadcast_join(df: DataFrame, expect: int = 1) -> str:
     return plan
 
 
+def assert_no_broadcast_hint(df: DataFrame) -> str:
+    """Fail if the optimized logical plan carries a broadcast hint.
+
+    Guards operators whose relations are O(N) at corpus scale: a
+    planner-forced ``F.broadcast`` there builds an unbounded driver-side
+    hash relation. AQE choosing a broadcast at runtime from MEASURED
+    sizes is fine and not flagged — this inspects hints, not strategy.
+    """
+    lp = df._jdf.queryExecution().optimizedPlan().toString()
+    if "ResolvedHint" in lp or "broadcast" in lp.lower():
+        raise AssertionError(
+            "optimized logical plan carries a broadcast hint:\n" + lp
+        )
+    return lp
+
+
 def assert_pushed_filters(df: DataFrame, fragment: str) -> str:
     """Assert a filter reached the scan (PushedFilters: [...fragment...])."""
     plan = physical_plan(df)

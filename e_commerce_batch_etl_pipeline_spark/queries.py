@@ -988,7 +988,7 @@ def embed_lsh_signature(spark, sf_dir):
     from .operators.similarity import hyperplane_signature
 
     e = _t(spark, sf_dir, "embeddings")
-    return hyperplane_signature(e, planes=16).orderBy("vec_id")
+    return hyperplane_signature(e, planes=16, dim=64).orderBy("vec_id")
 
 
 ORACLE_LSH_SIG = """
@@ -1023,7 +1023,9 @@ def embed_ann_lsh_topk(spark, sf_dir):
     q = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ann_lsh_topk(e, q, k=5, planes=8).orderBy("query_id", "rank")
+    return ann_lsh_topk(e, q, k=5, planes=8, dim=64).orderBy(
+        "query_id", "rank"
+    )
 
 
 def multimodal_meta(spark, sf_dir):
@@ -1668,3 +1670,178 @@ QUERIES["json_extract_props"] = json_extract_props
 ORACLES["json_extract_props"] = ORACLE_JSON_PROPS
 QUERIES["etl_percentiles"] = etl_percentiles
 ORACLES["etl_percentiles"] = ORACLE_PERCENTILES
+
+
+def dedup_lsh_jaccard_verify(spark, sf_dir):
+    """The dedup pipeline's SCALE shape: LSH banding proposes candidate
+    pairs (bucket-local join, no all-pairs), exact word-set Jaccard
+    verifies ONLY those pairs (shuffled equi-joins, nothing broadcast).
+    This is the composition a 100 TB corpus runs; the all-pairs
+    jaccard_nearest query remains as the small-table exactness check."""
+    from .operators.dedup import jaccard_verify_candidates, lsh_candidate_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(d, k=8, bands=4)
+    return jaccard_verify_candidates(d, pairs).orderBy("id_a", "id_b")
+
+
+ORACLE_LSH_JACCARD_VERIFY = rf"""
+WITH bands AS ({_BAND_SQL}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_id, band_hash)
+  WHERE a.doc_id < b.doc_id
+),
+w AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS word
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_words FROM w GROUP BY 1),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS inter
+  FROM pairs p
+  JOIN w wa ON wa.doc_id = p.id_a
+  JOIN w wb ON wb.doc_id = p.id_b AND wb.word = wa.word
+  GROUP BY 1, 2
+)
+SELECT p.id_a AS id_a, p.id_b AS id_b,
+       coalesce(i.inter, 0)::BIGINT AS inter,
+       (sa.n_words + sb.n_words - coalesce(i.inter, 0))::BIGINT AS uni
+FROM pairs p
+LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+JOIN sizes sa ON sa.doc_id = p.id_a
+JOIN sizes sb ON sb.doc_id = p.id_b
+ORDER BY p.id_a, p.id_b
+"""
+
+
+def ann_recall_at_k(spark, sf_dir):
+    """ANN quality as data: per query, how many of the brute-force top-5
+    the LSH-bucketed and IVF-cell searches recover (hits/k as exact
+    ints). Makes the baseline role of embed_cosine_topk explicit and the
+    recall/cost trade of the two scale paths measurable in CI."""
+    from .operators.similarity import ann_ivf_topk, ann_lsh_topk, cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    truth = cosine_topk(e, q, k=5).select("query_id", "nn_id")
+    lsh = ann_lsh_topk(e, q, k=5, planes=8, dim=64).select(
+        "query_id", F.col("nn_id").alias("nn_id"), F.lit(1).alias("in_lsh")
+    )
+    ivf = ann_ivf_topk(e, q, cents, k=5).select(
+        "query_id", F.col("nn_id").alias("nn_id"), F.lit(1).alias("in_ivf")
+    )
+    return (
+        truth.join(lsh, ["query_id", "nn_id"], "left")
+        .join(ivf, ["query_id", "nn_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce(F.col("in_lsh"), F.lit(0))).alias("hits_lsh"),
+            F.sum(F.coalesce(F.col("in_ivf"), F.lit(0))).alias("hits_ivf"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_ANN_RECALL_SCORE = (
+    "(list_sum(list_transform(list_zip(c.qv, q.qv), p -> p[1] * p[2]))::BIGINT"
+    " / sqrt(c.n2::DOUBLE * q.n2::DOUBLE))"
+)
+
+ORACLE_ANN_RECALL = f"""
+WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x*10000 + 0.5)::BIGINT) AS qv
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, qv,
+         list_sum(list_transform(qv, x -> x * x))::BIGINT AS n2
+  FROM qz
+),
+truth AS (
+  SELECT query_id, nn_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {_ANN_RECALL_SCORE} DESC, c.vec_id ASC) AS rank
+    FROM n c CROSS JOIN n q
+    WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
+  ) WHERE rank <= 5
+),
+v AS (
+  SELECT vec_id, i::INT AS i,
+         floor(embedding[i::INT + 1] * 10000 + 0.5)::BIGINT AS x
+  FROM embeddings CROSS JOIN range(64) r(i)
+),
+wt AS (
+  SELECT p::INT AS plane, i::INT AS i,
+         CASE WHEN ('0x'||substr(md5(p::INT::VARCHAR || ':' || i::INT::VARCHAR),1,15))::BIGINT & 1 = 1
+              THEN 1 ELSE -1 END AS w
+  FROM range(8) a(p) CROSS JOIN range(64) b(i)
+),
+sig AS (
+  SELECT vec_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << plane) ELSE 0 END)::BIGINT AS bucket
+  FROM (SELECT vec_id, plane, sum(w * x) AS s
+        FROM v JOIN wt USING (i) GROUP BY 1, 2)
+  GROUP BY 1
+),
+lsh AS (
+  SELECT query_id, nn_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {_ANN_RECALL_SCORE} DESC, c.vec_id ASC) AS rank
+    FROM (SELECT n.*, s.bucket FROM n JOIN sig s USING (vec_id)) c
+    JOIN (SELECT n.*, s.bucket FROM n JOIN sig s USING (vec_id)
+          WHERE n.vec_id % 50 = 0) q USING (bucket)
+    WHERE c.vec_id <> q.vec_id
+  ) WHERE rank <= 5
+),
+cents AS (SELECT vec_id AS centroid_id, qv AS cv, n2 AS cn2 FROM n
+          WHERE vec_id % 25 = 0),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT a.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY (list_sum(list_transform(list_zip(a.qv, c.cv), p -> p[1]*p[2]))::BIGINT
+                       / sqrt(a.n2::DOUBLE * c.cn2::DOUBLE)) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM n a CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+ivf AS (
+  SELECT query_id, nn_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {_ANN_RECALL_SCORE} DESC, c.vec_id ASC) AS rank
+    FROM (SELECT n.*, a.centroid_id FROM n JOIN assign a USING (vec_id)) c
+    JOIN (SELECT n.*, a.centroid_id FROM n JOIN assign a USING (vec_id)
+          WHERE n.vec_id % 50 = 0) q USING (centroid_id)
+    WHERE c.vec_id <> q.vec_id
+  ) WHERE rank <= 5
+)
+SELECT t.query_id AS query_id,
+       count(*) AS k,
+       sum(CASE WHEN l.nn_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS hits_lsh,
+       sum(CASE WHEN i.nn_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS hits_ivf
+FROM truth t
+LEFT JOIN lsh l ON l.query_id = t.query_id AND l.nn_id = t.nn_id
+LEFT JOIN ivf i ON i.query_id = t.query_id AND i.nn_id = t.nn_id
+GROUP BY 1 ORDER BY t.query_id
+"""
+
+QUERIES.update({
+    "dedup_lsh_jaccard_verify": dedup_lsh_jaccard_verify,
+    "ann_recall_at_k": ann_recall_at_k,
+})
+ORACLES.update({
+    "dedup_lsh_jaccard_verify": ORACLE_LSH_JACCARD_VERIFY,
+    "ann_recall_at_k": ORACLE_ANN_RECALL,
+})

@@ -119,3 +119,75 @@ def test_dq_report_and_gate(spark, raw, tmpdir_clean):
     write_report(report, os.path.join(tmpdir_clean, "dq"))
     files = glob.glob(os.path.join(tmpdir_clean, "dq", "*.json"))
     assert len(files) == 1
+
+
+def test_reference_check_catalog(spark, raw):
+    """The full 18-check / 5-category catalog (reference parity:
+    src/quality_checks.py:18-168, notebooks/03_data_quality.py:94-357),
+    still ONE aggregation pass + the dtype schema check."""
+    from e_commerce_batch_etl_pipeline_spark.etl.quality import (
+        reference_checks,
+    )
+    from e_commerce_batch_etl_pipeline_spark.etl.transforms import (
+        EXPECTED_TYPES,
+    )
+
+    curated = run_all_transforms(raw)
+    report, overall = run_checks(
+        curated, reference_checks(min_rows=1), expected_schema=EXPECTED_TYPES
+    )
+    rows = report.collect()
+    assert overall == "PASS"
+    assert len(rows) == 18  # 17 agg checks + dtype schema check
+    assert {r["category"] for r in rows} == {
+        "Volume", "Completeness", "Uniqueness", "BusinessRule", "Schema"
+    }
+    statuses = {r["check"]: r["status"] for r in rows}
+    assert statuses["schema_types"] == "PASS"
+    assert statuses["null_pct_customer_id"] == "PASS"  # GUEST-filled
+    assert statuses["no_future_invoice_date"] == "PASS"
+    assert statuses["valid_price_bucket"] == "PASS"
+
+    # dtype drift (quantity arrives as string) → schema_types FAIL
+    drifted = curated.withColumn("quantity", F.col("quantity").cast("string"))
+    rep2, overall2 = run_checks(
+        drifted, reference_checks(min_rows=1), expected_schema=EXPECTED_TYPES
+    )
+    assert overall2 == "FAIL"
+    s2 = {r["check"]: r["status"] for r in rep2.collect()}
+    assert s2["schema_types"] == "FAIL"
+
+    # volume WARN band (PASS >= min, WARN >= 0.8*min, FAIL below):
+    # 10 rows vs min 12 → 83% → WARN; vs min 100 → FAIL
+    from e_commerce_batch_etl_pipeline_spark.etl.quality import (
+        banded_row_count,
+    )
+
+    ten = spark.range(10)
+    _, ov_warn = run_checks(ten, [banded_row_count(12)])
+    assert ov_warn == "WARN"
+    _, ov_fail = run_checks(ten, [banded_row_count(100)])
+    assert ov_fail == "FAIL"
+
+    # membership WARN: inject an unknown bucket label
+    poisoned = curated.withColumn(
+        "price_bucket",
+        F.when(F.col("invoice_id") == "I-001", "bogus")
+        .otherwise(F.col("price_bucket")),
+    )
+    _, ov_member = run_checks(poisoned, [
+        c for c in reference_checks() if c.name == "valid_price_bucket"
+    ])
+    assert ov_member == "WARN"
+
+    # null-threshold 2x band: country nulls at ~25% of rows → >2*5% → FAIL
+    nulled = curated.withColumn(
+        "country",
+        F.when(F.col("invoice_id") == "I-001", F.lit(None)).otherwise(
+            F.col("country")
+        ),
+    )
+    _, ov_null = run_checks(nulled, [
+        c for c in reference_checks() if c.name == "null_pct_country"
+    ])
+    assert ov_null == "FAIL"

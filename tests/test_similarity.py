@@ -81,3 +81,45 @@ def test_lsh_candidate_pairs_find_exact_dups(spark):
     df = spark.createDataFrame(rows, "doc_id string, text string")
     pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(df).collect()}
     assert ("dup1", "dup2") in pairs
+
+
+def test_jaccard_verify_candidates_scale_shape(spark):
+    """The LSH→Jaccard composition: verified pairs agree with the
+    all-pairs computation on the candidate set, and NEITHER the verify
+    path nor jaccard_nearest forces a broadcast of an O(N) relation
+    (round-1 verdict item 5)."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_batch_etl_pipeline_spark.operators.dedup import (
+        jaccard_nearest,
+        jaccard_verify_candidates,
+        lsh_candidate_pairs,
+    )
+    from e_commerce_batch_etl_pipeline_spark.plans import (
+        assert_no_broadcast_hint,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "a completely different sentence about spark engines"),
+            (4, "the quick brown fox jumps over the lazy dog today"),
+            (5, "yet another unrelated string of words entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = lsh_candidate_pairs(docs, k=8, bands=4)
+    verified = jaccard_verify_candidates(docs, pairs)
+    assert_no_broadcast_hint(verified)
+    assert_no_broadcast_hint(jaccard_nearest(docs))
+
+    got = {(r["id_a"], r["id_b"]): (r["inter"], r["uni"])
+           for r in verified.collect()}
+    assert got  # near-dup docs 1/2/4 collide in some band
+    # exact check against python sets for every verified pair
+    texts = {r["doc_id"]: set(r["text"].split()) for r in docs.collect()}
+    for (a, b), (inter, uni) in got.items():
+        wa, wb = texts[a], texts[b]
+        assert inter == len(wa & wb)
+        assert uni == len(wa | wb)

@@ -206,3 +206,53 @@ def test_wal_python_datasource(spark, tmpdir_clean):
         "lsn > 1150"
     )
     assert df4.count() == plain.count()
+
+
+def test_serving_sink_datasource(spark, tmpdir_clean):
+    """K2 serving sink (JDBC stand-in): batchsize round-trips, truncate
+    vs append semantics, transactional visibility, read-back verify
+    (reference src/load.py:46-92, notebooks/05_mysql_load.py:288-303)."""
+    from e_commerce_batch_etl_pipeline_spark.sources.serving_sink import (
+        ServingSinkDataSource,
+        read_serving_table,
+    )
+
+    spark.dataSource.register(ServingSinkDataSource)
+    db = os.path.join(tmpdir_clean, "serve.duckdb")
+    df = spark.range(100).select(
+        F.col("id").alias("order_id"),
+        (F.col("id") % 7).alias("qty"),
+        F.format_string("c%03d", F.col("id") % 10).alias("cust"),
+    ).repartition(4)
+
+    (df.write.format("serving")
+       .option("path", db).option("table", "curated")
+       .option("batchsize", "8")
+       .mode("append").save())
+    n, cols = read_serving_table(db, "curated")
+    assert n == 100
+    assert cols == ["order_id", "qty", "cust"]
+
+    # append without truncate accumulates (reference dq_report pattern)
+    (df.write.format("serving")
+       .option("path", db).option("table", "curated")
+       .mode("append").save())
+    assert read_serving_table(db, "curated")[0] == 200
+
+    # truncate=true + append: replaces content, keeps the table
+    # (reference: truncate instead of drop to preserve indexes)
+    (df.limit(10).write.format("serving")
+       .option("path", db).option("table", "curated")
+       .option("truncate", "true")
+       .mode("append").save())
+    assert read_serving_table(db, "curated")[0] == 10
+
+    # mode=overwrite rebuilds the table
+    (df.limit(25).write.format("serving")
+       .option("path", db).option("table", "curated")
+       .mode("overwrite").save())
+    assert read_serving_table(db, "curated")[0] == 25
+
+    # no stray staging dirs left behind
+    leftovers = [p for p in os.listdir(tmpdir_clean) if "staging" in p]
+    assert leftovers == []
