@@ -42,6 +42,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import Observation, SparkSession
@@ -168,15 +169,44 @@ class CdcEngine:
     # ---------- the loop ----------
 
     def run(self, max_epochs: int | None = None) -> list[EpochResult]:
-        """Replay all pending WAL epochs; resumable from checkpoint."""
+        """Replay all pending WAL epochs; resumable from checkpoint.
+
+        Each run also APPENDS one rollup record to
+        ``<checkpoint>/run_history.jsonl`` (run-level stage log across
+        epochs — the reference's pipeline-log history append,
+        ``notebooks/07_pipeline_orchestrator.py:341-388``, where per-epoch
+        lineage JSON is the per-stage detail)."""
+        t0 = time.time()
         results = []
         pending = self.wal.epochs_after(self.last_committed_epoch())
         if max_epochs is not None:
             pending = pending[:max_epochs]
-        for e in pending:
-            results.append(self.apply_epoch(e))
-            self._write_checkpoint(e)
+        try:
+            for e in pending:
+                results.append(self.apply_epoch(e))
+                self._write_checkpoint(e)
+        finally:
+            self._append_run_history(results, time.time() - t0)
         return results
+
+    def _append_run_history(self, results: list, dur: float) -> None:
+        rec = {
+            "run_id": uuid.uuid4().hex[:12],
+            "finished_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "duration_sec": round(dur, 3),
+            "epochs_total": len(results),
+            "epochs_committed": sum(
+                1 for r in results if r.status == "committed"
+            ),
+            "epochs_skipped": sum(1 for r in results if r.status == "skipped"),
+            "rows_applied": sum(r.rows_applied for r in results),
+            "conflicts": sum(r.conflicts for r in results),
+            "table_version": self.table.current().version,
+            "merge_mode": self.merge_mode,
+        }
+        path = os.path.join(self.checkpoint_dir, "run_history.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
 
     def apply_epoch(self, epoch: int) -> EpochResult:
         """Apply one WAL segment (fence-checked, idempotent)."""

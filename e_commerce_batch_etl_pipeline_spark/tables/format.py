@@ -572,7 +572,7 @@ class LakeTable:
             committed_at=time.time(),
             props={**snap.props, **(props or {}), "rows_applied": rows_applied},
         )
-        self._write_snapshot(new_snap)
+        self._write_snapshot(new_snap, cas_parent=snap.version)
         return new_snap
 
     def adopt_delta_files(
@@ -633,11 +633,41 @@ class LakeTable:
             committed_at=time.time(),
             props=snap.props,
         )
-        self._write_snapshot(new_snap)
+        self._write_snapshot(new_snap, cas_parent=snap.version)
         return new_snap
 
-    def _write_snapshot(self, snap: Snapshot) -> None:
+    def _write_snapshot(
+        self, snap: Snapshot, cas_parent: int | None = None
+    ) -> None:
+        """Two-phase publish: write the immutable snapshot file, then swap
+        the VERSION pointer. A crash between the phases leaves an ORPHAN
+        snapshot file that readers never see (VERSION still names the
+        parent) and the next commit harmlessly overwrites.
+
+        ``cas_parent`` is the compare-and-swap guard — publish proceeds
+        only if VERSION still names the expected parent, checked BEFORE
+        the snapshot file is written so a losing writer clobbers nothing
+        (a committed snapshot file is immutable). Under the local
+        commit_lock this never fires; it exists because it IS the
+        object-store protocol: on S3/GCS the same check runs server-side
+        as a conditional PUT (If-Match on the pointer object) or a
+        catalog/DynamoDB CAS, replacing both the lock and ``os.replace``
+        (there, snapshot keys should also carry an attempt suffix so two
+        racers can never write the same key). A loser retries: re-read
+        VERSION, re-check fences (idempotent), re-commit. See README
+        'Commit protocol on object storage'.
+        """
         md = os.path.join(self.root, "metadata")
+        vpath = os.path.join(md, VERSION_FILE)
+        if cas_parent is not None:
+            expected = f"snapshot-{cas_parent:08d}.json"
+            with open(vpath) as f:
+                actual = f.read().strip()
+            if actual != expected:
+                raise ConcurrentCommitError(
+                    f"CAS failed: VERSION moved to {actual} (expected "
+                    f"{expected}) — another writer committed; retry"
+                )
         name = f"snapshot-{snap.version:08d}.json"
         path = os.path.join(md, name)
         tmp = path + ".tmp"
@@ -646,9 +676,9 @@ class LakeTable:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, path)
-        vtmp = os.path.join(md, VERSION_FILE + ".tmp")
+        vtmp = vpath + ".tmp"
         with open(vtmp, "w") as f:
             f.write(name)
             f.flush()
             os.fsync(f.fileno())
-        os.replace(vtmp, os.path.join(md, VERSION_FILE))
+        os.replace(vtmp, vpath)

@@ -1,0 +1,119 @@
+"""55M-event merge-on-read soak (round-2 item 8 — BASELINE.md records
+the result): same trajectory as the round-1 CoW large soak (5M-doc base,
+256 buckets, 11 x 5M-event epochs with epoch 0 as warm-up, 3 hot keys at
+20% of changes, additive `lang` column arriving at epoch 6), but with
+`merge_mode="mor"`, instrumenting per-epoch ingest rate, pending delta
+files (compaction cadence), and read-back latency.
+
+Run:  python scripts/soak_mor.py [--scale-div N]   (N>1 shrinks the run)
+Emits one JSON line per epoch plus a final summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from e_commerce_batch_etl_pipeline_spark.session import build_session  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale-div", type=int, default=1)
+    ap.add_argument("--cores", type=int, default=16)
+    ap.add_argument("--compact-files", type=int, default=8)
+    args = ap.parse_args()
+
+    base_n = 5_000_000 // args.scale_div
+    per_epoch = 5_000_000 // args.scale_div
+    epochs = 11
+    buckets = 256
+
+    spark = build_session(master=f"local[{args.cores}]",
+                          shuffle_partitions=args.cores)
+    from e_commerce_batch_etl_pipeline_spark.sources.datagen import (
+        generate_base_docs,
+        write_wal,
+    )
+    from e_commerce_batch_etl_pipeline_spark.sources.wal import WalSource
+    from e_commerce_batch_etl_pipeline_spark.streaming.bootstrap import (
+        bootstrap_table,
+    )
+    from e_commerce_batch_etl_pipeline_spark.streaming.microbatch import (
+        CdcEngine,
+    )
+    from e_commerce_batch_etl_pipeline_spark.tables.maintenance import verify
+
+    root = tempfile.mkdtemp(prefix="soak_mor_")
+    try:
+        t0 = time.time()
+        base = generate_base_docs(spark, base_n, seed=7, max_len=96)
+        base.write.mode("overwrite").parquet(f"{root}/base")
+        write_wal(
+            spark, f"{root}/wal", epochs, per_epoch, base_n, seed=7,
+            max_len=96, num_hot_keys=3, hot_key_frac=0.20,
+            evolve_from_epoch=6,
+        )
+        print(json.dumps({"stage": "datagen", "sec": round(time.time() - t0, 1),
+                          "events": epochs * per_epoch}), flush=True)
+
+        t0 = time.time()
+        table = bootstrap_table(
+            f"{root}/table", spark.read.parquet(f"{root}/base"),
+            num_buckets=buckets,
+        )
+        print(json.dumps({"stage": "bootstrap",
+                          "sec": round(time.time() - t0, 1)}), flush=True)
+
+        eng = CdcEngine(
+            spark, table, WalSource(f"{root}/wal"), f"{root}/ckpt",
+            merge_mode="mor", mor_compact_files=args.compact_files,
+            audit_quarantine=False,
+        )
+        timed_events = 0
+        timed_sec = 0.0
+        for e in range(epochs):
+            r = eng.run(max_epochs=1)[0]
+            snap = table.current()
+            deltas = sum(
+                1 for f in snap.files if f.get("kind", "base") == "delta"
+            )
+            tr0 = time.time()
+            n_rows = table.read(spark).count()
+            read_sec = time.time() - tr0
+            rate = (r.rows_applied / r.duration_sec) if r.duration_sec else 0
+            if e > 0:  # epoch 0 = warm-up, excluded from the sustained rate
+                timed_events += r.rows_applied
+                timed_sec += r.duration_sec
+            print(json.dumps({
+                "epoch": e, "rows_applied": r.rows_applied,
+                "sec": round(r.duration_sec, 1),
+                "events_per_sec": round(rate),
+                "pending_delta_files": deltas,
+                "table_version": snap.version,
+                "read_back_sec": round(read_sec, 2),
+                "table_rows": n_rows,
+            }), flush=True)
+
+        rep = verify(table, spark)
+        print(json.dumps({
+            "stage": "summary",
+            "sustained_events_per_sec": round(timed_events / timed_sec),
+            "timed_events": timed_events,
+            "final_rows": rep["rows"],
+            "verify_ok": rep["ok"],
+            "schema_version": table.current().schema.schema_version,
+        }), flush=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -149,6 +149,19 @@ def test_quarantine_and_lineage(spark, tmpdir_clean):
     payload = ["tokens", "n_tok", "source"]
     expected = _oracle_state(base, wal, spark, payload)
     assert_states_equal(expected, _collect_state(table.read(spark), payload))
+    # run-level history rollup APPENDED per run (reference pipeline-log
+    # append, notebooks/07:341-388): one record now, two after a re-run
+    hist_path = os.path.join(ckpt, "run_history.jsonl")
+    hist = [json.loads(line) for line in open(hist_path)]
+    assert len(hist) == 1
+    assert hist[0]["epochs_committed"] == len(
+        [r for r in results if r.status == "committed"]
+    )
+    assert hist[0]["rows_applied"] == sum(r.rows_applied for r in results)
+    assert hist[0]["table_version"] == table.current().version
+    eng.run()  # resume no-op still logs a run record
+    hist2 = [json.loads(line) for line in open(hist_path)]
+    assert len(hist2) == 2 and hist2[1]["epochs_total"] == 0
 
 
 def test_dq_gate_aborts_before_commit(spark, tmpdir_clean, monkeypatch):

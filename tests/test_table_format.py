@@ -213,3 +213,68 @@ def test_fence_pruning_bounds_metadata(spark, table):
         assert int(table.current().watermark["0"]) == 19
     finally:
         fmt.FENCE_KEEP_EPOCHS = old_keep
+
+
+def test_crash_between_snapshot_and_pointer(spark, table):
+    """A writer that dies AFTER writing snapshot-(v+1).json but BEFORE
+    the VERSION pointer swap leaves an orphan snapshot: readers keep
+    seeing v, and the next commit supersedes the orphan cleanly."""
+    import json as _json
+    import os as _os
+
+    snap = table.current()
+    v = snap.version
+    md = _os.path.join(table.root, "metadata")
+    # simulate the crash: orphan snapshot file, pointer untouched
+    orphan = dict(snap.to_json())
+    orphan["version"] = v + 1
+    orphan["props"] = {"crashed_attempt": True}
+    with open(_os.path.join(md, f"snapshot-{v + 1:08d}.json"), "w") as f:
+        _json.dump(orphan, f)
+    # readers are unaffected
+    assert table.current().version == v
+    assert table.read(spark).count() == 500
+    # the next commit wins version v+1, overwriting the orphan
+    out = table.commit(epoch=7, replaced_buckets=[0], new_files=[],
+                       bucket_max_lsn={0: 10}, delta=True)
+    assert out is not None and out.version == v + 1
+    assert table.current().props.get("crashed_attempt") is None
+    assert table.snapshot_at(v + 1).props.get("crashed_attempt") is None
+    assert table.read(spark).count() == 500
+
+
+def test_commit_cas_guard_detects_pointer_race(spark, table):
+    """The CAS guard in _write_snapshot — the object-store conditional-
+    put analog — refuses the pointer swap when VERSION moved after the
+    writer read its parent (injected race: bypass the lock and advance
+    VERSION between read and publish)."""
+    from e_commerce_batch_etl_pipeline_spark.tables.format import (
+        ConcurrentCommitError,
+        Snapshot,
+    )
+
+    snap = table.current()
+    stale_parent = snap.version
+    # another writer commits first (advances VERSION)
+    table.commit(epoch=11, replaced_buckets=[0], new_files=[],
+                 bucket_max_lsn={0: 20}, delta=True)
+    assert table.current().version == stale_parent + 1
+    # the racing writer tries to publish against the stale parent
+    racing = Snapshot(
+        version=stale_parent + 1,
+        schema=snap.schema,
+        key_column=snap.key_column,
+        num_buckets=snap.num_buckets,
+        files=snap.files,
+        fences=snap.fences,
+        watermark=snap.watermark,
+        parent=stale_parent,
+    )
+    with pytest.raises(ConcurrentCommitError, match="CAS failed"):
+        table._write_snapshot(racing, cas_parent=stale_parent)
+    # the loser's snapshot write did NOT clobber the winner's pointer
+    assert table.current().version == stale_parent + 1
+    assert table.current().epoch_fenced(11)
+    # retry path: re-read + recommit succeeds (fences make replays no-op)
+    assert table.commit(epoch=11, replaced_buckets=[0], new_files=[],
+                        bucket_max_lsn={0: 20}, delta=True) is None
