@@ -42,6 +42,16 @@ from typing import Iterator, List, Optional
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -147,10 +157,128 @@ class ServingSinkWriter(DataSourceArrowWriter):
         shutil.rmtree(self.staging, ignore_errors=True)
 
 
+def _sql_lit(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    return str(v)
+
+
+class ServingScanReader(DataSourceReader):
+    """JDBC-scan stand-in (reference S4,
+    ``notebooks/05_mysql_load.py:288-303``): read the serving table back
+    with PREDICATE PUSHDOWN — supported comparison/null filters compile
+    into the WHERE clause executed inside the database, exactly like
+    Spark's JDBC reader pushes filters into the remote SQL. Optionally
+    splits the scan into ``num_partitions`` ranges of a numeric
+    ``partition_column`` (the JDBC partitioned-read surface:
+    lower/upper bound taken from the data)."""
+
+    def __init__(self, options: dict, schema: StructType):
+        self.db_path = options["path"]
+        self.table = options.get("table", "serving")
+        self.num_partitions = int(options.get("num_partitions", "1"))
+        self.partition_column = options.get("partition_column")
+        self.columns = [f.name for f in schema.fields]
+        self.where: list[str] = []
+
+    def pushFilters(self, filters: list[Filter]):
+        # NOTE (Spark 4.1 Python DataSource quirk): after a plan with
+        # pushed filters executes, the JVM memoizes the narrowed scan on
+        # the shared relation — further queries on the SAME loaded
+        # DataFrame reuse it (observed: df.filter(x).count() then
+        # df.count() returns the filtered count). Re-load per query
+        # pattern (spark.read.format("serving")...load().filter(...)),
+        # which is the normal usage shape. Fresh reader per plan, so
+        # no reset is needed here.
+        ops = {
+            EqualTo: "=", GreaterThan: ">", GreaterThanOrEqual: ">=",
+            LessThan: "<", LessThanOrEqual: "<=",
+        }
+        for f in filters:
+            t = type(f)
+            if t in ops and len(f.attribute) == 1:
+                self.where.append(
+                    f'"{f.attribute[0]}" {ops[t]} {_sql_lit(f.value)}'
+                )
+            elif t is IsNull and len(f.attribute) == 1:
+                self.where.append(f'"{f.attribute[0]}" IS NULL')
+            elif t is IsNotNull and len(f.attribute) == 1:
+                self.where.append(f'"{f.attribute[0]}" IS NOT NULL')
+            else:
+                yield f  # unsupported → Spark evaluates it post-scan
+
+    def _query(self, extra: str | None = None) -> str:
+        cols = ", ".join(f'"{c}"' for c in self.columns)
+        preds = list(self.where) + ([extra] if extra else [])
+        w = f" WHERE {' AND '.join(preds)}" if preds else ""
+        return f"SELECT {cols} FROM {self.table}{w}"
+
+    def partitions(self):
+        if self.num_partitions <= 1 or not self.partition_column:
+            return [InputPartition(None)]
+        import duckdb
+
+        con = duckdb.connect(self.db_path, read_only=True)
+        try:
+            lo, hi = con.execute(
+                f'SELECT min("{self.partition_column}"), '
+                f'max("{self.partition_column}") FROM {self.table}'
+            ).fetchone()
+        finally:
+            con.close()
+        if lo is None:
+            return [InputPartition(None)]
+        lo, hi = int(lo), int(hi)
+        step = max(1, (hi - lo + 1) // self.num_partitions)
+        parts = []
+        for i in range(self.num_partitions):
+            a = lo + i * step
+            b = hi + 1 if i == self.num_partitions - 1 else a + step
+            parts.append(InputPartition(
+                f'"{self.partition_column}" >= {a} '
+                f'AND "{self.partition_column}" < {b}'
+            ))
+        return parts
+
+    def read(self, partition: InputPartition):
+        import duckdb
+
+        con = duckdb.connect(self.db_path, read_only=True)
+        try:
+            reader = con.execute(
+                self._query(partition.value)
+            ).fetch_record_batch(10_000)
+            for batch in reader:
+                yield batch  # Arrow RecordBatches — no row-level Python
+        finally:
+            con.close()
+
+
 class ServingSinkDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
         return "serving"
+
+    def schema(self) -> str | StructType:
+        # infer from the serving table (reader path only; the writer gets
+        # its schema from the DataFrame being written)
+        import duckdb
+
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        con = duckdb.connect(self.options["path"], read_only=True)
+        try:
+            tbl = self.options.get("table", "serving")
+            empty = con.execute(f"SELECT * FROM {tbl} LIMIT 0").arrow()
+            return from_arrow_schema(pa.schema(empty.schema))
+        finally:
+            con.close()
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return ServingScanReader(self.options, schema)
 
     def writer(self, schema: StructType, overwrite: bool):
         return ServingSinkWriter(self.options, schema, overwrite)

@@ -256,3 +256,49 @@ def test_serving_sink_datasource(spark, tmpdir_clean):
     # no stray staging dirs left behind
     leftovers = [p for p in os.listdir(tmpdir_clean) if "staging" in p]
     assert leftovers == []
+
+
+def test_serving_scan_reader_pushdown(spark, tmpdir_clean):
+    """S4 JDBC-scan stand-in: read the serving table back through the
+    'serving' format with predicates pushed into the database's WHERE
+    clause and a partitioned numeric-range scan (the JDBC
+    partitionColumn/numPartitions surface)."""
+    from e_commerce_batch_etl_pipeline_spark.sources.serving_sink import (
+        ServingSinkDataSource,
+    )
+
+    spark.dataSource.register(ServingSinkDataSource)
+    db = os.path.join(tmpdir_clean, "serve2.duckdb")
+    src = spark.range(1000).select(
+        F.col("id").alias("order_id"),
+        (F.col("id") % 13).alias("qty"),
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.format_string("c%03d", F.col("id") % 10)).alias("cust"),
+    )
+    (src.write.format("serving")
+        .option("path", db).option("table", "curated")
+        .mode("append").save())
+
+    # fresh .load() per query pattern: Spark memoizes a pushed-down scan
+    # on the shared relation (see ServingScanReader.pushFilters note)
+    def back():
+        return (spark.read.format("serving")
+                .option("path", db).option("table", "curated")
+                .option("partition_column", "order_id")
+                .option("num_partitions", "4")
+                .load())
+
+    assert back().count() == 1000
+    assert dict(back().dtypes) == {"order_id": "bigint", "qty": "bigint",
+                                   "cust": "string"}
+    # pushdown: equality + range + null filters all evaluate correctly
+    got = back().filter((F.col("qty") >= 5) & (F.col("qty") < 8)
+                        & F.col("cust").isNotNull())
+    exp = src.filter((F.col("qty") >= 5) & (F.col("qty") < 8)
+                     & F.col("cust").isNotNull())
+    assert got.count() == exp.count()
+    assert back().filter(F.col("cust").isNull()).count() == 100
+    assert (back().filter(F.col("order_id") == 421).collect()[0]["qty"]
+            == 421 % 13)
+    # partitioned scan covers every row exactly once
+    assert back().select("order_id").distinct().count() == 1000
