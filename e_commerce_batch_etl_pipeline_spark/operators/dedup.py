@@ -116,6 +116,64 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     return pairs
 
 
+def neardup_clusters(
+    nodes: DataFrame, edges: DataFrame, key: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Near-duplicate cluster assignment: connected components over the
+    verified-pair graph, each doc labeled with the MIN doc id of its
+    component — the step after pair verification in a dedup pipeline
+    (keep one representative per cluster).
+
+    Spark-first iterative min-label propagation: per round, every node
+    takes min(own label, neighbors' labels) — two shuffled joins + an
+    aggregate per round, converging in O(graph diameter) rounds (near-dup
+    graphs are dense cliques ⇒ few rounds). ``localCheckpoint`` cuts the
+    growing lineage each round; the convergence probe is a 1-row action.
+    At 10^10 nodes the same loop runs with the large-star/small-star
+    optimization; semantics are identical.
+
+    ``edges``: (id_a, id_b) undirected pairs. Returns (key, cluster_id)
+    for EVERY node (singletons cluster to themselves).
+    """
+    e = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = (
+        nodes.select(F.col(key).alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        cand = (
+            e.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(cand, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(key), F.col("label").alias("cluster_id"))
+
+
 def simhash(df: DataFrame, text_col: str = "text", key: str = "doc_id",
             bits: int = 16) -> DataFrame:
     """SimHash over distinct words: bit b set iff sum over words of

@@ -1845,3 +1845,72 @@ ORACLES.update({
     "dedup_lsh_jaccard_verify": ORACLE_LSH_JACCARD_VERIFY,
     "ann_recall_at_k": ORACLE_ANN_RECALL,
 })
+
+
+def dedup_cluster_assignment(spark, sf_dir):
+    """End of the dedup pipeline: LSH candidates → exact-Jaccard verify
+    (>= 0.9, exact int compare 10*inter >= 9*uni) → connected components
+    → every doc labeled with its cluster's min doc id (singletons label
+    themselves). Iterative min-label propagation on the Spark side; the
+    oracle reproduces it with a recursive CTE fixpoint."""
+    from .operators.dedup import (
+        jaccard_verify_candidates,
+        lsh_candidate_pairs,
+        neardup_clusters,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(d, k=8, bands=4)
+    verified = jaccard_verify_candidates(d, pairs)
+    edges = verified.filter(
+        10 * F.col("inter") >= 9 * F.col("uni")
+    ).select("id_a", "id_b")
+    return neardup_clusters(d.select("doc_id"), edges).orderBy("doc_id")
+
+
+ORACLE_CLUSTER_ASSIGNMENT = rf"""
+WITH RECURSIVE
+verified AS (
+  WITH bands AS ({_BAND_SQL}),
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b USING (band_id, band_hash)
+    WHERE a.doc_id < b.doc_id
+  ),
+  w AS (
+    SELECT doc_id,
+           unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS word
+    FROM documents
+  ),
+  sizes AS (SELECT doc_id, count(*) AS n_words FROM w GROUP BY 1),
+  inter AS (
+    SELECT p.id_a, p.id_b, count(*) AS inter
+    FROM pairs p
+    JOIN w wa ON wa.doc_id = p.id_a
+    JOIN w wb ON wb.doc_id = p.id_b AND wb.word = wa.word
+    GROUP BY 1, 2
+  )
+  SELECT p.id_a AS id_a, p.id_b AS id_b,
+         coalesce(i.inter, 0)::BIGINT AS inter,
+         (sa.n_words + sb.n_words - coalesce(i.inter, 0))::BIGINT AS uni
+  FROM pairs p
+  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+  JOIN sizes sa ON sa.doc_id = p.id_a
+  JOIN sizes sb ON sb.doc_id = p.id_b
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM verified WHERE 10 * inter >= 9 * uni
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM verified WHERE 10 * inter >= 9 * uni
+),
+reach(id, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(root)::BIGINT AS cluster_id
+FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+QUERIES["dedup_cluster_assignment"] = dedup_cluster_assignment
+ORACLES["dedup_cluster_assignment"] = ORACLE_CLUSTER_ASSIGNMENT

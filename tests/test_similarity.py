@@ -123,3 +123,21 @@ def test_jaccard_verify_candidates_scale_shape(spark):
         wa, wb = texts[a], texts[b]
         assert inter == len(wa & wb)
         assert uni == len(wa | wb)
+
+
+def test_neardup_clusters_matches_union_find(spark):
+    """Connected-component labels match a reference union-find, including
+    singletons and a multi-hop chain (propagation needs >1 round)."""
+    from e_commerce_batch_etl_pipeline_spark.operators.dedup import (
+        neardup_clusters,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    # chain 0-1-2-3-4 (diameter 4), triangle 5-6-7, pair 9-10, singletons 8/11
+    edge_list = [(0, 1), (1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7),
+                 (9, 10)]
+    edges = spark.createDataFrame(edge_list, "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in neardup_clusters(nodes, edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0,
+                   5: 5, 6: 5, 7: 5, 8: 8, 9: 9, 10: 9, 11: 11}
