@@ -1914,3 +1914,133 @@ FROM reach GROUP BY id ORDER BY doc_id
 
 QUERIES["dedup_cluster_assignment"] = dedup_cluster_assignment
 ORACLES["dedup_cluster_assignment"] = ORACLE_CLUSTER_ASSIGNMENT
+
+
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling for training-data mixing: each
+    source gets its own keep-rate (domain re-weighting, the 'data
+    mixture' step of a pretraining pipeline), decided by a portable
+    md5-derived hash of the doc id — reproducible on any engine or
+    cluster size, no RNG state. Output: per-source kept/total counts."""
+    from .operators.dedup import md5int
+
+    d = _t(spark, sf_dir, "documents")
+    rates = {"src0": 100, "src1": 50, "src2": 25, "src3": 10}  # percent
+    rate = F.coalesce(
+        *[F.when(F.col("source") == s, F.lit(r)) for s, r in rates.items()],
+        F.lit(0),
+    )
+    keep = F.pmod(md5int(F.col("doc_id").cast("string")), F.lit(100)) < rate
+    return (
+        d.withColumn("keep", keep.cast("int"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SAMPLE_STRATIFIED = """
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100
+                     < CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+                                   WHEN 'src2' THEN 25 WHEN 'src3' THEN 10
+                                   ELSE 0 END
+                THEN 1 ELSE 0 END)::BIGINT AS n_kept
+FROM documents GROUP BY 1 ORDER BY source
+"""
+
+
+def quality_filter_pipeline(spark, sf_dir):
+    """Composite document-quality filter (Gopher/CCNet-style rule stack
+    over the text metrics already implemented): min/max length, mean
+    word length band, max single-word repetition ratio. Returns each
+    rule's kill count plus survivors — the funnel a curation pipeline
+    reports. Exact integer metrics only (counts and 100x ratios)."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+    ).otherwise(F.size(words))
+    n_chars = F.length(F.col("text"))
+    # top word frequency: max count of any single word (repetition)
+    distinct_words = F.array_distinct(words)
+    top_freq = F.array_max(
+        F.transform(
+            distinct_words,
+            lambda w: F.size(F.filter(words, lambda x: x == w)),
+        )
+    )
+    m = d.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_words.alias("n_words"),
+        top_freq.alias("top_freq"),
+    ).withColumn(
+        # mean word length x100, integer floor (portable)
+        "mwl_100",
+        F.when(F.col("n_words") == 0, F.lit(0)).otherwise(
+            ((F.col("n_chars_m") - (F.col("n_words") - 1)) * 100
+             / F.col("n_words")).cast("long")
+        ),
+    ).withColumn(
+        # repetition ratio x100: share of tokens that are the single
+        # most frequent word
+        "rep_100",
+        F.when(F.col("n_words") == 0, F.lit(0)).otherwise(
+            (F.col("top_freq") * 100 / F.col("n_words")).cast("long")
+        ),
+    )
+    r_len = (F.col("n_chars_m") >= 40) & (F.col("n_chars_m") <= 10000)
+    r_mwl = (F.col("mwl_100") >= 250) & (F.col("mwl_100") <= 1200)
+    r_rep = F.col("rep_100") <= 20
+    return m.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((~r_len).cast("int")).alias("kill_len"),
+        F.sum((~r_mwl).cast("int")).alias("kill_mwl"),
+        F.sum((~r_rep).cast("int")).alias("kill_rep"),
+        F.sum((r_len & r_mwl & r_rep).cast("int")).alias("survivors"),
+    )
+
+
+ORACLE_QUALITY_FILTER = r"""
+WITH m AS (
+  SELECT doc_id,
+         length(text) AS n_chars_m,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE (SELECT max(c) FROM (
+                     SELECT count(*) AS c
+                     FROM unnest(regexp_split_to_array(trim(text), '\s+')) AS t(w)
+                     GROUP BY w)) END AS top_freq
+  FROM documents
+),
+x AS (
+  SELECT doc_id, n_chars_m, n_words, top_freq,
+         CASE WHEN n_words = 0 THEN 0
+              ELSE ((n_chars_m - (n_words - 1)) * 100 // n_words) END AS mwl_100,
+         CASE WHEN n_words = 0 THEN 0
+              ELSE (top_freq * 100 // n_words) END AS rep_100
+  FROM m
+)
+SELECT count(*) AS total,
+       sum(CASE WHEN NOT (n_chars_m >= 40 AND n_chars_m <= 10000) THEN 1 ELSE 0 END)::BIGINT AS kill_len,
+       sum(CASE WHEN NOT (mwl_100 >= 250 AND mwl_100 <= 1200) THEN 1 ELSE 0 END)::BIGINT AS kill_mwl,
+       sum(CASE WHEN rep_100 > 20 THEN 1 ELSE 0 END)::BIGINT AS kill_rep,
+       sum(CASE WHEN n_chars_m >= 40 AND n_chars_m <= 10000
+                 AND mwl_100 >= 250 AND mwl_100 <= 1200
+                 AND rep_100 <= 20 THEN 1 ELSE 0 END)::BIGINT AS survivors
+FROM x
+"""
+
+QUERIES.update({
+    "sample_stratified": sample_stratified,
+    "quality_filter_pipeline": quality_filter_pipeline,
+})
+ORACLES.update({
+    "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
+    "quality_filter_pipeline": ORACLE_QUALITY_FILTER,
+})
