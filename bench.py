@@ -78,14 +78,17 @@ REPLAY_BUCKETS = 64
 # per-epoch driver-side costs (job planning, commit, checkpoint) are
 # constant, so small epochs understate scaling the way tiny microbatches
 # would on a real cluster — 4M-event epochs put the serial share where a
-# production batch size would. 1 warm-up + 2 individually-timed epochs
+# production batch size would. 1 warm-up + 3 individually-timed epochs
 # per session; the two levels run back-to-back inside each attempt so
 # they sample the same co-tenant noise regime, and efficiency is
 # computed PER ATTEMPT (pairing the best epoch rate of each level from
 # the same minute) — mixing best-of-level across minutes systematically
-# favors whichever level caught a quiet minute.
+# favors whichever level caught a quiet minute. The scaling job runs in
+# merge-on-read mode — the steady-state mode for the 10^10 shape
+# (O(changes) writes; CoW's touched-bucket rewrite amortizes epoch size
+# instead of parallelism, so it measures table growth as much as cores).
 SCALING_CHANGES = 4_000_000
-SCALING_EPOCHS = 3
+SCALING_EPOCHS = 4
 SCALING_ATTEMPTS = 2
 
 
@@ -201,6 +204,7 @@ def run_scaling_replay(spark, input_root: str, work_root: str) -> float:
     eng = CdcEngine(
         spark, table, WalSource(os.path.join(input_root, "wal")),
         os.path.join(work_root, "ckpt"), audit_quarantine=False,
+        merge_mode="mor",
     )
     eng.run(max_epochs=1)  # warm-up
     rates = [
@@ -293,6 +297,7 @@ def main() -> None:
                          "events_per_sec": best_at["high_events_per_sec"]},
                 "cores_ratio": 4,
                 "events_per_epoch": SCALING_CHANGES,
+                "merge_mode": "mor",
                 "efficiency": best_at["efficiency"],
                 "attempts": attempts,
                 "efficiency_vs_hw_ceiling": round(
