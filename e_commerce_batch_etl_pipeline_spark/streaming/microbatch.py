@@ -63,17 +63,19 @@ def _footer_stats(stage_dir: str, order_col: str = "lsn") -> dict[int, dict]:
     Driver-side, O(files) metadata reads — replaces a full stats job.
     File part-0000i ↔ bucket i (HashPartitioning alignment); rows from
     the footer, max lsn from the column's row-group statistics.
+    Footer opens run on a thread pool (I/O-bound; GIL released inside
+    pyarrow) so the cost stays flat up to ~10^4 buckets; beyond that,
+    fold stats collection into the staging job itself.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
 
-    out: dict[int, dict] = {}
-    for fn in sorted(os.listdir(stage_dir)):
-        if not fn.endswith(".parquet"):
-            continue
+    def one(fn: str):
         bucket = int(fn.split("-")[1])
         md = pq.ParquetFile(os.path.join(stage_dir, fn)).metadata
         if md.num_rows == 0:
-            continue
+            return None
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
         col = idx[order_col]
         max_lsn = None
@@ -85,7 +87,18 @@ def _footer_stats(stage_dir: str, order_col: str = "lsn") -> dict[int, dict]:
                 )
             v = int(st.max)
             max_lsn = v if max_lsn is None else max(max_lsn, v)
-        out[bucket] = {"rows": md.num_rows, "max_lsn": int(max_lsn)}
+        return bucket, {"rows": md.num_rows, "max_lsn": int(max_lsn)}
+
+    names = sorted(
+        fn for fn in os.listdir(stage_dir) if fn.endswith(".parquet")
+    )
+    out: dict[int, dict] = {}
+    if not names:
+        return out
+    with ThreadPoolExecutor(max_workers=min(16, len(names))) as ex:
+        for res in ex.map(one, names):
+            if res is not None:
+                out[res[0]] = res[1]
     return out
 
 
