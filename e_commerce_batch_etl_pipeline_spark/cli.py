@@ -50,6 +50,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="copy-on-write (rewrite touched buckets) or "
                         "merge-on-read (append delta files, O(changes) "
                         "writes, lazy compaction)")
+    r.add_argument("--mor-compact-files", default="8",
+                   help="MOR inline-compaction budget (delta files per "
+                        "bucket); 'none' defers compaction entirely to "
+                        "the maintain entry point (background-job shape)")
     r.add_argument("--strict-dq", action="store_true",
                    help="re-verify LWW key-uniqueness with an extra job")
     r.add_argument("--no-audit-quarantine", action="store_true",
@@ -95,10 +99,15 @@ def main(argv: list[str] | None = None) -> int:
         from .streaming.microbatch import CdcEngine
         from .tables.format import LakeTable
 
+        mcf = (
+            None if str(args.mor_compact_files).lower() == "none"
+            else int(args.mor_compact_files)
+        )
         eng = CdcEngine(
             spark, LakeTable(args.table), WalSource(args.wal),
             args.checkpoint, salted=args.salted,
             merge_mode=args.merge_mode,
+            mor_compact_files=mcf,
             strict_dq=args.strict_dq,
             audit_quarantine=not args.no_audit_quarantine,
         )

@@ -128,7 +128,7 @@ class CdcEngine:
         audit_quarantine: bool = True,
         strict_dq: bool = False,
         merge_mode: str = "cow",
-        mor_compact_files: int = 8,
+        mor_compact_files: int | None = 8,
     ):
         """``merge_mode``:
 
@@ -138,10 +138,14 @@ class CdcEngine:
           change-set as per-bucket delta files (write cost O(changes),
           never O(table)); readers resolve LWW at scan time; buckets are
           compacted back to base files once they accumulate more than
-          ``mor_compact_files`` files. The right mode when per-epoch
-          changes are small relative to the table — the 10^10 steady
-          state — or when uniform change spread makes CoW rewrite the
-          whole table every epoch.
+          ``mor_compact_files`` files — or, with
+          ``mor_compact_files=None``, never inline: run the ``maintain``
+          entry point as a background/cron job instead (it commits via
+          the same snapshot CAS, so it serializes with ingest and ingest
+          never absorbs the fold). The right mode when per-epoch changes
+          are small relative to the table — the 10^10 steady state — or
+          when uniform change spread makes CoW rewrite the whole table
+          every epoch.
         """
         self.spark = spark
         self.table = table
@@ -362,7 +366,13 @@ class CdcEngine:
             # delta content — adopt its bucket-pure files directly
             # (driver-side move; write cost O(changes), never O(table)),
             # publish, then compact any bucket that exceeded the delta
-            # budget (read-time LWW cost bound).
+            # budget (read-time LWW cost bound). With
+            # ``mor_compact_files=None`` compaction is DEFERRED to the
+            # ``maintain`` entry point (background job; it commits
+            # through the same snapshot CAS so it serializes with
+            # ingest) — the production shape, where ingest never absorbs
+            # the fold (measured: a 13M-row inline fold cost one 123 s
+            # epoch in the 55M soak; see BASELINE.md).
             if self.merge_mode == "mor":
                 new_files = self.table.adopt_delta_files(stage_dir, touched)
                 self.table.commit(
@@ -374,10 +384,11 @@ class CdcEngine:
                     props={"epoch": epoch, "mode": "mor"},
                     delta=True,
                 )
-                from ..tables.maintenance import compact
+                if self.mor_compact_files is not None:
+                    from ..tables.maintenance import compact
 
-                compact(self.table, self.spark,
-                        max_files_per_bucket=self.mor_compact_files)
+                    compact(self.table, self.spark,
+                            max_files_per_bucket=self.mor_compact_files)
                 lineage = [
                     {
                         "epoch": epoch,

@@ -260,3 +260,30 @@ def test_mor_replay_idempotent_and_verify(spark, tmpdir_clean):
         state1, _collect_state(table.read(spark), ["tokens", "n_tok", "source"])
     )
     assert verify(table, spark)["ok"]
+
+
+def test_mor_deferred_compaction_via_maintain(spark, tmpdir_clean):
+    """mor_compact_files=None: ingest never folds deltas inline — the
+    maintain entry point (background-job shape) compacts later through
+    the same snapshot CAS, preserving state exactly."""
+    from e_commerce_batch_etl_pipeline_spark.tables.maintenance import (
+        compact,
+        verify,
+    )
+
+    table, wal, base = _setup(spark, tmpdir_clean)
+    eng = CdcEngine(spark, table, wal, os.path.join(tmpdir_clean, "ckpt"),
+                    merge_mode="mor", mor_compact_files=None)
+    results = eng.run()
+    assert all(r.status == "committed" for r in results)
+    payload = ["tokens", "n_tok", "source"]
+    before = _collect_state(table.read(spark), payload)
+    # every epoch's deltas still pending — ingest never compacted
+    kinds = {f.get("kind", "base") for f in table.current().files}
+    assert "delta" in kinds
+    # background maintain folds them; state identical, all-base layout
+    snap = compact(table, spark, max_files_per_bucket=1)
+    assert snap is not None
+    assert {f.get("kind", "base") for f in table.current().files} == {"base"}
+    assert_states_equal(before, _collect_state(table.read(spark), payload))
+    assert verify(table, spark)["ok"]
