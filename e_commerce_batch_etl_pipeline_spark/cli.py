@@ -60,6 +60,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="skip persisting quarantined envelopes (counts "
                         "still recorded in lineage)")
 
+    ch = sub.add_parser("changes")
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--from-version", type=int, required=True)
+    ch.add_argument("--to-version", type=int, required=True)
+    ch.add_argument("--out", required=True,
+                    help="parquet dir for the change feed")
+
     m = sub.add_parser("maintain")
     m.add_argument("--table", required=True)
     m.add_argument("--max-files-per-bucket", type=int, default=4)
@@ -120,6 +127,26 @@ def main(argv: list[str] | None = None) -> int:
             "rows_applied": applied,
             "wall_sec": round(wall, 3),
             "events_per_sec": round(applied / wall, 1) if wall > 0 else None,
+        }))
+    elif args.cmd == "changes":
+        from pyspark.sql import functions as F
+
+        from .tables.format import LakeTable
+
+        feed = LakeTable(args.table).changes_between(
+            spark, args.from_version, args.to_version
+        )
+        feed.write.mode("overwrite").parquet(args.out)
+        counts = {
+            r["_change_op"]: r["n"]
+            for r in spark.read.parquet(args.out)
+            .groupBy("_change_op").agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        print(json.dumps({
+            "from": args.from_version, "to": args.to_version,
+            "inserts": counts.get("I", 0), "updates": counts.get("U", 0),
+            "deletes": counts.get("D", 0), "out": args.out,
         }))
     elif args.cmd == "maintain":
         from .tables.format import LakeTable

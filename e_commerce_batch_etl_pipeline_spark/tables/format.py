@@ -454,6 +454,78 @@ class LakeTable:
             resolved = resolved.unionByName(scan(clean_base, target))
         return resolved
 
+    def changes_between(
+        self, spark: SparkSession, from_version: int, to_version: int
+    ) -> DataFrame:
+        """Incremental change feed (the Delta-CDF / Iceberg-CDC read
+        surface): NET row-level changes between two committed snapshots,
+        as (_change_op, key, payload...) — ``I`` inserted, ``U`` updated
+        (payload differs), ``D`` deleted.
+
+        Scale shape: both snapshot reads are FILE-PRUNED to the buckets
+        whose file sets differ between the versions — cost is
+        O(changed-bucket data), not O(table), for any mix of CoW/MOR/
+        compaction commits in the range (compaction rewrites buckets
+        without changing logical state; those rows fall out of the
+        full-outer diff as unchanged). Schema evolution in the range is
+        reconciled to the LATER snapshot's schema (added columns read as
+        NULL from the earlier version, so an update that only populates
+        a new column still surfaces as U).
+        """
+        s1 = self.snapshot_at(from_version)
+        s2 = self.snapshot_at(to_version)
+        key = s2.key_column
+        files1 = {b: sorted(f["path"] for f in s1.files if f["bucket"] == b)
+                  for b in range(s1.num_buckets)}
+        files2 = {b: sorted(f["path"] for f in s2.files if f["bucket"] == b)
+                  for b in range(s2.num_buckets)}
+        changed = sorted(
+            b for b in range(s2.num_buckets) if files1.get(b) != files2.get(b)
+        )
+        target = s2.schema.to_struct()
+        payload = [f.name for f in target.fields if f.name != key]
+        if not changed:
+            return spark.createDataFrame(
+                [], T.StructType(
+                    [T.StructField("_change_op", T.StringType())]
+                    + list(target.fields)
+                )
+            )
+
+        def normalize(df: DataFrame) -> DataFrame:
+            cols = [
+                F.col(f.name).cast(f.dataType) if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in target.fields
+            ]
+            return df.select(*cols)
+
+        old = normalize(self.read(spark, buckets=changed, snapshot=s1))
+        new = normalize(self.read(spark, buckets=changed, snapshot=s2))
+        o = old.select(
+            F.col(key), F.struct(*payload).alias("_old"), F.lit(1).alias("_ino")
+        )
+        n = new.select(
+            F.col(key), F.struct(*payload).alias("_new"), F.lit(1).alias("_inn")
+        )
+        j = o.join(n, key, "full_outer")
+        op = (
+            F.when(F.col("_ino").isNull(), "I")
+            .when(F.col("_inn").isNull(), "D")
+            .when(~F.col("_old").eqNullSafe(F.col("_new")), "U")
+        )
+        side = F.when(F.col("_inn").isNull(), F.col("_old")).otherwise(
+            F.col("_new")
+        )
+        return (
+            j.withColumn("_change_op", op)
+            .filter(F.col("_change_op").isNotNull())
+            .select(
+                "_change_op", key,
+                *[side.getField(c).alias(c) for c in payload],
+            )
+        )
+
     # ---------- write path ----------
 
     def write_data_files(

@@ -287,3 +287,59 @@ def test_mor_deferred_compaction_via_maintain(spark, tmpdir_clean):
     assert {f.get("kind", "base") for f in table.current().files} == {"base"}
     assert_states_equal(before, _collect_state(table.read(spark), payload))
     assert verify(table, spark)["ok"]
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_changes_between_incremental_feed(spark, tmpdir_clean, mode):
+    """Incremental change feed (Delta-CDF/Iceberg-CDC analog): NET row
+    changes between two snapshots match a diff of the independent pandas
+    oracle states, in both merge modes."""
+    table, wal, base = _setup(spark, tmpdir_clean)
+    eng = CdcEngine(spark, table, wal, os.path.join(tmpdir_clean, "ckpt"),
+                    merge_mode=mode)
+    eng.run(max_epochs=1)
+    v1 = table.current().version
+    eng.run(max_epochs=1)
+    v2 = table.current().version
+
+    payload = ["tokens", "n_tok", "source"]
+    base_rows = [r.asDict() for r in base.collect()]
+    env0 = [r.asDict() for r in wal.read_epoch(spark, 0).collect()]
+    env1 = [r.asDict() for r in wal.read_epoch(spark, 1).collect()]
+    from .oracle import replay as oracle_replay
+
+    s_before = oracle_replay(base_rows, env0, payload)
+    s_after = oracle_replay(base_rows, env0 + env1, payload)
+    expected = {}
+    for k in set(s_before) | set(s_after):
+        if k not in s_before:
+            expected[k] = ("I", s_after[k])
+        elif k not in s_after:
+            expected[k] = ("D", s_before[k])
+        else:
+            a, b = s_before[k], s_after[k]
+            same = (
+                list(a["tokens"]) == list(b["tokens"])
+                and a["n_tok"] == b["n_tok"] and a["source"] == b["source"]
+            )
+            if not same:
+                expected[k] = ("U", b)
+
+    feed = table.changes_between(spark, v1, v2)
+    actual = {
+        r["doc_id"]: (r["_change_op"],
+                      {c: r[c] for c in payload})
+        for r in feed.collect()
+    }
+    assert set(actual) == set(expected), (
+        f"{mode}: keys differ: extra={sorted(set(actual)-set(expected))[:5]} "
+        f"missing={sorted(set(expected)-set(actual))[:5]}"
+    )
+    for k, (op, pay) in expected.items():
+        aop, apay = actual[k]
+        assert aop == op, f"{mode} {k}: op {aop} != {op}"
+        assert list(apay["tokens"] or []) == list(pay["tokens"] or [])
+        assert apay["n_tok"] == pay["n_tok"]
+        assert apay["source"] == pay["source"]
+    # no-change version range → empty feed
+    assert table.changes_between(spark, v2, v2).count() == 0
