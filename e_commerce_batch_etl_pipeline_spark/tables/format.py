@@ -454,6 +454,38 @@ class LakeTable:
             resolved = resolved.unionByName(scan(clean_base, target))
         return resolved
 
+    def lookup(
+        self,
+        spark: SparkSession,
+        keys: list,
+        snapshot: Snapshot | None = None,
+    ) -> DataFrame:
+        """Point lookups (the serving-read path): scan ONLY the buckets
+        the keys hash to — the murmur3 bucket route turns a key lookup
+        into a 1/B-of-table scan per distinct bucket, independent of
+        table size. Small key sets additionally push an ``In`` filter to
+        the parquet row-group stats; large sets use a broadcast
+        semi-join instead (an ``isin`` with 10^5 literals bloats the
+        plan)."""
+        snap = snapshot or self.current()
+        key = snap.key_column
+        key_type = dict(
+            (n, t) for n, t, _ in snap.schema.fields
+        )[key]
+        kdf = spark.createDataFrame(
+            [(k,) for k in keys], f"{key} {key_type}"
+        )
+        buckets = sorted(
+            r["b"]
+            for r in kdf.select(
+                bucket_expr(key, snap.num_buckets).alias("b")
+            ).distinct().collect()
+        )
+        base = self.read(spark, buckets=buckets, snapshot=snap)
+        if len(keys) <= 1000:
+            return base.filter(F.col(key).isin(keys))
+        return base.join(F.broadcast(kdf), key, "left_semi")
+
     def changes_between(
         self, spark: SparkSession, from_version: int, to_version: int
     ) -> DataFrame:

@@ -278,3 +278,35 @@ def test_commit_cas_guard_detects_pointer_race(spark, table):
     # retry path: re-read + recommit succeeds (fences make replays no-op)
     assert table.commit(epoch=11, replaced_buckets=[0], new_files=[],
                         bucket_max_lsn={0: 20}, delta=True) is None
+
+
+def test_point_lookup_prunes_to_key_buckets(spark, table):
+    """lookup() reads only the buckets its keys hash to (bucket-route
+    pruning) and returns exactly the matching rows."""
+    all_rows = {r["doc_id"]: r for r in table.read(spark).collect()}
+    some = sorted(all_rows)[:3]
+    got = table.lookup(spark, some)
+    rows = {r["doc_id"]: r for r in got.collect()}
+    assert set(rows) == set(some)
+    for k in some:
+        assert rows[k]["n_tok"] == all_rows[k]["n_tok"]
+    # file pruning: inputFiles covers only the keys' buckets
+    snap = table.current()
+    from e_commerce_batch_etl_pipeline_spark.tables.format import bucket_expr
+
+    kdf = spark.createDataFrame([(k,) for k in some], "doc_id string")
+    want_buckets = {
+        r["b"] for r in kdf.select(
+            bucket_expr("doc_id", snap.num_buckets).alias("b")
+        ).collect()
+    }
+    allowed = {
+        os.path.basename(f["path"])
+        for f in snap.files if f["bucket"] in want_buckets
+    }
+    used = {os.path.basename(p) for p in got.inputFiles()}
+    assert used <= allowed and used
+    # and strictly fewer files than a full scan (4 buckets bootstrapped)
+    assert len(used) < len(snap.files)
+    # missing keys return nothing
+    assert table.lookup(spark, ["doc_does_not_exist"]).count() == 0
