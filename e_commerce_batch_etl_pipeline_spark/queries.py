@@ -2044,3 +2044,54 @@ ORACLES.update({
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "quality_filter_pipeline": ORACLE_QUALITY_FILTER,
 })
+
+
+def pack_sequences_2048(spark, sf_dir):
+    """Sequence packing (GPT-style concatenate-and-chunk): each doc's
+    exclusive prefix-sum offset in the doc_id-ordered token stream and
+    its 2048-token window placement. Executes as a two-pass distributed
+    prefix sum (operators/packing.py) — no single-task global window —
+    while the oracle states the semantics as a plain window cumsum."""
+    from .functions.text import ws_token_count
+    from .operators.packing import pack_sequences
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            ws_token_count(F.col("text")).cast("long").alias("n_tok"),
+        )
+        .filter(F.col("n_tok") > 0)
+    )
+    return (
+        pack_sequences(d, key="doc_id", weight="n_tok", context=2048)
+        .withColumnRenamed("offset", "tok_offset")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_PACK_SEQUENCES = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+  FROM documents
+),
+f AS (SELECT doc_id, n_tok::BIGINT AS n_tok FROM t WHERE n_tok > 0),
+o AS (
+  SELECT doc_id, n_tok,
+         coalesce(sum(n_tok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS tok_offset
+  FROM f
+)
+SELECT doc_id, n_tok, tok_offset,
+       (tok_offset // 2048)::BIGINT AS first_bin,
+       ((tok_offset + n_tok - 1) // 2048)::BIGINT AS last_bin,
+       ((tok_offset + n_tok - 1) // 2048 - tok_offset // 2048 + 1)::BIGINT
+         AS spans
+FROM o ORDER BY doc_id
+"""
+
+QUERIES["pack_sequences_2048"] = pack_sequences_2048
+ORACLES["pack_sequences_2048"] = ORACLE_PACK_SEQUENCES

@@ -96,3 +96,28 @@ def test_decode_image_is_stubbed():
 def test_fake_decoder_stable():
     assert fake_decode_features(b"abc") == fake_decode_features(b"abc")
     assert fake_decode_features(b"") == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_pack_sequences_partition_independent(spark):
+    """The distributed two-pass prefix sum equals the sequential cumsum
+    for ANY chunk count, and bin spans follow the math."""
+    from e_commerce_batch_etl_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    rows = [(f"d{i:04d}", (i * 37) % 900 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok long")
+    expected = {}
+    off = 0
+    for k, w in rows:  # already in doc_id order
+        expected[k] = (off, off // 1000, (off + w - 1) // 1000)
+        off += w
+    for chunks in (1, 3, 16):
+        got = {
+            r["doc_id"]: (r["offset"], r["first_bin"], r["last_bin"])
+            for r in pack_sequences(
+                df.repartition(7), key="doc_id", weight="n_tok",
+                context=1000, num_chunks=chunks,
+            ).collect()
+        }
+        assert got == expected, f"num_chunks={chunks}"
