@@ -2095,3 +2095,69 @@ FROM o ORDER BY doc_id
 
 QUERIES["pack_sequences_2048"] = pack_sequences_2048
 ORACLES["pack_sequences_2048"] = ORACLE_PACK_SEQUENCES
+
+
+def decontaminate_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination: flag corpus docs sharing any 5-word
+    shingle with an eval set (docs with doc_id % 100 == 0 stand in for
+    the benchmark). The shingle join is a shuffled equi-join on the
+    md5-hashed shingle — no all-pairs product; at 100 TB the eval-set
+    shingles are tiny and broadcast, here left to AQE. Output: per
+    contaminated corpus doc, how many eval docs and distinct shingles it
+    collides with."""
+    from .operators.dedup import md5int
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n = 5
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: md5int(F.concat_ws(" ", F.slice(words, i + 1, n))),
+    )
+    # guard: Spark's sequence(0, negative) DESCENDS (DuckDB range() is
+    # empty) — docs shorter than n words contribute no shingles
+    sh = F.when(F.size(words) >= n, sh).otherwise(
+        F.array().cast("array<long>")
+    )
+    shingled = d.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
+    )
+    evalset = shingled.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    corpus = shingled.filter(F.col("doc_id") % 100 != 0)
+    return (
+        corpus.join(evalset, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("eval_id").alias("n_eval_docs"),
+            F.count_distinct("shingle").alias("n_shingles"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DECONTAMINATE = r"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(sh)) AS shingle FROM (
+    SELECT doc_id,
+           list_transform(
+             range(0, len(regexp_split_to_array(trim(text), '\s+')) - 4),
+             i -> ('0x'||substr(md5(array_to_string(
+                    regexp_split_to_array(trim(text), '\s+')[i+1:i+5],
+                    ' ')),1,15))::BIGINT
+           ) AS sh
+    FROM documents
+  )
+),
+ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 100 = 0),
+corpus AS (SELECT * FROM sh WHERE doc_id % 100 <> 0)
+SELECT c.doc_id AS doc_id,
+       count(DISTINCT e.eval_id) AS n_eval_docs,
+       count(DISTINCT c.shingle) AS n_shingles
+FROM corpus c JOIN ev e USING (shingle)
+GROUP BY 1 ORDER BY doc_id
+"""
+
+QUERIES["decontaminate_ngram_overlap"] = decontaminate_ngram_overlap
+ORACLES["decontaminate_ngram_overlap"] = ORACLE_DECONTAMINATE
