@@ -86,10 +86,14 @@ def membership_check(
     col: str, allowed: list[str], fail: bool = False
 ) -> DQCheck:
     """Valid-set membership rule (notebooks/03_data_quality.py:347-350
-    valid_order_status): count of rows outside ``allowed``. The reference
-    treats violations as WARN by default; pass ``fail=True`` to gate."""
+    valid_order_status): count of rows outside ``allowed``. NULL counts
+    as a violation — ``~isin`` alone evaluates to NULL on NULL input and
+    would let an all-NULL column PASS silently. The reference treats
+    violations as WARN by default; pass ``fail=True`` to gate."""
     metric = F.sum(
-        F.when(~F.col(col).isin(allowed), 1).otherwise(0)
+        F.when(
+            F.col(col).isNull() | ~F.col(col).isin(allowed), 1
+        ).otherwise(0)
     )
     if fail:
         return DQCheck(f"valid_{col}", "BusinessRule", metric,

@@ -171,6 +171,14 @@ def neardup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent non-convergence would split one logical cluster into
+        # several ids (and diverge from the fixpoint oracle) — refuse
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); the component diameter "
+            "exceeds max_iters — raise it or pre-contract the graph"
+        )
     return labels.select(F.col("id").alias(key), F.col("label").alias("cluster_id"))
 
 

@@ -49,6 +49,12 @@ def pack_sequences(
         df.select(F.col(key), F.col(weight).cast("long").alias("_w"))
         .repartitionByRange(num_chunks, F.col(key))
         .withColumn("_chunk", F.spark_partition_id())
+        # pin the chunk assignment: the totals collect (pass 2) and the
+        # final consumer are two jobs — without materialization each one
+        # would re-run the range-partitioning sample, and on a real
+        # cluster a retry could draw different boundaries, pairing chunk
+        # bases with the wrong rows
+        .localCheckpoint()
     )
     # pass 1: parallel within-chunk exclusive cumsum
     w_local = (

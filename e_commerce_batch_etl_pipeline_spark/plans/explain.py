@@ -61,7 +61,11 @@ def assert_no_broadcast_hint(df: DataFrame) -> str:
     sizes is fine and not flagged — this inspects hints, not strategy.
     """
     lp = df._jdf.queryExecution().optimizedPlan().toString()
-    if "ResolvedHint" in lp or "broadcast" in lp.lower():
+    # hints survive optimization as join-strategy annotations
+    # (leftHint/rightHint=(strategy=broadcast)) or, pre-resolution, as
+    # ResolvedHint nodes; a bare substring match would false-positive on
+    # column/table names containing 'broadcast'
+    if "ResolvedHint" in lp or "strategy=broadcast" in lp:
         raise AssertionError(
             "optimized logical plan carries a broadcast hint:\n" + lp
         )

@@ -66,6 +66,7 @@ class StagedPart(WriterCommitMessage):
 
 class ServingSinkWriter(DataSourceArrowWriter):
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        self.schema = schema
         self.db_path = options["path"]
         self.table = options.get("table", "serving")
         self.batchsize = int(options.get("batchsize", "5000"))
@@ -123,6 +124,18 @@ class ServingSinkWriter(DataSourceArrowWriter):
         import duckdb
 
         files = [m.path for m in messages if m is not None and m.rows > 0]
+        if not files and (self.overwrite or self.truncate):
+            # JDBC overwrite/truncate semantics apply even for zero input
+            # rows: stage one EMPTY typed parquet so the transaction
+            # below still replaces/empties the table
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            empty = os.path.join(self.staging, "part-empty.parquet")
+            tbl = pa.schema(to_arrow_schema(self.schema)).empty_table()
+            pq.write_table(tbl, empty)
+            files = [empty]
         try:
             if files:
                 con = duckdb.connect(self.db_path)
@@ -157,12 +170,17 @@ class ServingSinkWriter(DataSourceArrowWriter):
         shutil.rmtree(self.staging, ignore_errors=True)
 
 
-def _sql_lit(v) -> str:
-    if isinstance(v, str):
-        return "'" + v.replace("'", "''") + "'"
+def _sql_lit(v) -> str | None:
+    """SQL literal for a pushed filter value; None = not pushable (the
+    filter is yielded back to Spark instead — e.g. date/timestamp/binary,
+    where a bare str() would parse as integer arithmetic in SQL)."""
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    return str(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, (int, float)):
+        return str(v)
+    return None
 
 
 class ServingScanReader(DataSourceReader):
@@ -199,9 +217,11 @@ class ServingScanReader(DataSourceReader):
         for f in filters:
             t = type(f)
             if t in ops and len(f.attribute) == 1:
-                self.where.append(
-                    f'"{f.attribute[0]}" {ops[t]} {_sql_lit(f.value)}'
-                )
+                lit = _sql_lit(f.value)
+                if lit is None:
+                    yield f  # unpushable literal type → Spark evaluates
+                    continue
+                self.where.append(f'"{f.attribute[0]}" {ops[t]} {lit}')
             elif t is IsNull and len(f.attribute) == 1:
                 self.where.append(f'"{f.attribute[0]}" IS NULL')
             elif t is IsNotNull and len(f.attribute) == 1:

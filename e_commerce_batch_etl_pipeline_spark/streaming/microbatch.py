@@ -198,19 +198,32 @@ class CdcEngine:
         pending = self.wal.epochs_after(self.last_committed_epoch())
         if max_epochs is not None:
             pending = pending[:max_epochs]
+        err: BaseException | None = None
         try:
             for e in pending:
                 results.append(self.apply_epoch(e))
                 self._write_checkpoint(e)
+        except BaseException as exc:
+            err = exc
+            raise
         finally:
-            self._append_run_history(results, time.time() - t0)
+            # best-effort: the history append must never mask the real
+            # ingest exception (e.g. unreadable metadata in a crash)
+            try:
+                self._append_run_history(results, time.time() - t0, err)
+            except Exception:
+                pass
         return results
 
-    def _append_run_history(self, results: list, dur: float) -> None:
+    def _append_run_history(
+        self, results: list, dur: float, err: BaseException | None = None
+    ) -> None:
         rec = {
             "run_id": uuid.uuid4().hex[:12],
             "finished_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
             "duration_sec": round(dur, 3),
+            "status": "failed" if err is not None else "ok",
+            "error": f"{type(err).__name__}: {err}" if err is not None else None,
             "epochs_total": len(results),
             "epochs_committed": sum(
                 1 for r in results if r.status == "committed"

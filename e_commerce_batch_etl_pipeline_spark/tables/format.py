@@ -239,6 +239,14 @@ def commit_lock(root: str):
     body carries a per-acquisition token) so a waiter that legitimately
     took over a stale lock is never unlocked by the crashed owner's
     ``finally``.
+
+    Residual hazard (inherent to every timeout-leased lock): an owner
+    that stalls past LOCK_STALE_SEC and resumes exactly between its
+    release-path ownership read and the unlink can remove a taker-over's
+    fresh lock. Correctness does not rest on the lock alone: commits are
+    backstopped by the snapshot CAS in ``_write_snapshot`` (an expired
+    leaseholder cannot publish over a newer VERSION) and GC by the
+    min-age gate in ``remove_orphans``.
     """
     path = os.path.join(root, "metadata", LOCK_FILE)
     token = f"{os.getpid()}:{uuid.uuid4().hex}"
@@ -517,10 +525,15 @@ class LakeTable:
         target = s2.schema.to_struct()
         payload = [f.name for f in target.fields if f.name != key]
         if not changed:
+            # same column ORDER as the diff branch: (_change_op, key,
+            # payload...) — a key column that isn't first in the schema
+            # must not reorder the empty result
+            fields_by_name = {f.name: f for f in target.fields}
             return spark.createDataFrame(
                 [], T.StructType(
-                    [T.StructField("_change_op", T.StringType())]
-                    + list(target.fields)
+                    [T.StructField("_change_op", T.StringType()),
+                     fields_by_name[key]]
+                    + [fields_by_name[c] for c in payload]
                 )
             )
 

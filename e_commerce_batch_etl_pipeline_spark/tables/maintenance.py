@@ -60,14 +60,22 @@ def compact(
 
 
 def expire_snapshots(table: LakeTable, keep_last: int = 5) -> list[int]:
-    """Delete snapshot metadata older than the last ``keep_last``."""
-    versions = table.history()
-    current = table.current().version
-    to_drop = [v for v in versions[:-keep_last] if v != current]
-    for v in to_drop:
-        p = os.path.join(table.root, "metadata", f"snapshot-{v:08d}.json")
-        if os.path.exists(p):
-            os.remove(p)
+    """Delete snapshot metadata older than the last ``keep_last``.
+
+    Holds the commit lock: another maintenance process may be walking
+    ``history()`` → ``snapshot_at()`` (remove_orphans' live-set scan)
+    and must not see snapshots vanish mid-walk. Note that expiring a
+    snapshot also retires it from ``changes_between`` ranges."""
+    from .format import commit_lock
+
+    with commit_lock(table.root):
+        versions = table.history()
+        current = table.current().version
+        to_drop = [v for v in versions[:-keep_last] if v != current]
+        for v in to_drop:
+            p = os.path.join(table.root, "metadata", f"snapshot-{v:08d}.json")
+            if os.path.exists(p):
+                os.remove(p)
     return to_drop
 
 
@@ -92,7 +100,10 @@ def remove_orphans(
     with commit_lock(table.root):
         live: set[str] = set()
         for v in table.history():
-            snap = table.snapshot_at(v)
+            try:
+                snap = table.snapshot_at(v)
+            except FileNotFoundError:
+                continue  # expired between listdir and open — not live
             live.update(f["path"] for f in snap.files)
         data_root = os.path.join(table.root, "data")
         now = time.time()

@@ -191,3 +191,20 @@ def test_reference_check_catalog(spark, raw):
         c for c in reference_checks() if c.name == "null_pct_country"
     ])
     assert ov_null == "FAIL"
+
+
+def test_membership_check_counts_nulls_as_violations(spark):
+    """Review finding: ~isin(NULL) is NULL, which used to fall through
+    to 0 — an all-NULL column must NOT pass a membership gate."""
+    from e_commerce_batch_etl_pipeline_spark.etl.quality import (
+        membership_check,
+        run_checks,
+    )
+
+    df = spark.createDataFrame([(None,), (None,), ("ok",)], "status string")
+    _, overall = run_checks(df, [membership_check("status", ["ok"],
+                                                  fail=True)])
+    assert overall == "FAIL"
+    rep, _ = run_checks(df, [membership_check("status", ["ok"])])
+    row = rep.collect()[0]
+    assert row["metric"] == 2.0 and row["status"] == "WARN"

@@ -141,3 +141,21 @@ def test_neardup_clusters_matches_union_find(spark):
            for r in neardup_clusters(nodes, edges).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0,
                    5: 5, 6: 5, 7: 5, 8: 8, 9: 9, 10: 9, 11: 11}
+
+
+def test_neardup_clusters_nonconvergence_raises(spark):
+    """A component whose diameter exceeds max_iters must raise, not
+    silently return split clusters (review finding)."""
+    import pytest as _pytest
+
+    n = 8
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    from e_commerce_batch_etl_pipeline_spark.operators.dedup import (
+        neardup_clusters,
+    )
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        neardup_clusters(nodes, chain, max_iters=2)

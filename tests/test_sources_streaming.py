@@ -302,3 +302,58 @@ def test_serving_scan_reader_pushdown(spark, tmpdir_clean):
             == 421 % 13)
     # partitioned scan covers every row exactly once
     assert back().select("order_id").distinct().count() == 1000
+
+
+def test_serving_sink_empty_input_semantics(spark, tmpdir_clean):
+    """JDBC overwrite/truncate semantics apply even for ZERO input rows:
+    an empty overwrite replaces the table with an empty one (review
+    finding: the commit used to skip entirely and leave stale rows)."""
+    from e_commerce_batch_etl_pipeline_spark.sources.serving_sink import (
+        ServingSinkDataSource,
+        read_serving_table,
+    )
+
+    spark.dataSource.register(ServingSinkDataSource)
+    db = os.path.join(tmpdir_clean, "serve3.duckdb")
+    df = spark.range(50).select(F.col("id").alias("k"))
+    (df.write.format("serving")
+       .option("path", db).option("table", "t").mode("append").save())
+    assert read_serving_table(db, "t")[0] == 50
+    empty = df.filter("k < 0")
+    (empty.write.format("serving")
+       .option("path", db).option("table", "t")
+       .option("truncate", "true").mode("append").save())
+    n, cols = read_serving_table(db, "t")
+    assert n == 0 and cols == ["k"]
+    # refill then empty-overwrite
+    (df.write.format("serving")
+       .option("path", db).option("table", "t").mode("append").save())
+    (empty.write.format("serving")
+       .option("path", db).option("table", "t").mode("overwrite").save())
+    assert read_serving_table(db, "t")[0] == 0
+
+
+def test_serving_reader_unpushable_literal_yields_back(spark, tmpdir_clean):
+    """Date/timestamp filter literals are NOT pushed (str() would be
+    broken SQL) — the filter must be yielded back and still evaluate
+    correctly Spark-side."""
+    import datetime
+
+    from e_commerce_batch_etl_pipeline_spark.sources.serving_sink import (
+        ServingSinkDataSource,
+    )
+
+    spark.dataSource.register(ServingSinkDataSource)
+    db = os.path.join(tmpdir_clean, "serve4.duckdb")
+    src = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   F.col("id").cast("int")).alias("d"),
+    )
+    (src.write.format("serving")
+       .option("path", db).option("table", "t").mode("append").save())
+    back = (spark.read.format("serving")
+            .option("path", db).option("table", "t").load())
+    got = back.filter(F.col("d") == F.lit(datetime.date(2024, 1, 5)))
+    assert got.count() == 1
+    assert got.collect()[0]["k"] == 4
