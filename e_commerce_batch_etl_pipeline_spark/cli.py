@@ -76,6 +76,9 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--gc-min-age-sec", type=float, default=3600.0,
                    help="never GC files younger than this (in-flight "
                         "epoch staging safety)")
+    m.add_argument("--rebucket", type=int, default=None,
+                   help="rewrite the table into N hash buckets (bucket-"
+                        "count evolution; atomic snapshot commit)")
 
     args = p.parse_args(argv)
 
@@ -157,6 +160,10 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         table = LakeTable(args.table)
+        if args.rebucket:
+            from .tables.maintenance import rebucket
+
+            rebucket(table, spark, args.rebucket)
         snap = compact(table, spark,
                        max_files_per_bucket=args.max_files_per_bucket)
         dropped = expire_snapshots(table, keep_last=args.keep_snapshots)
@@ -165,6 +172,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.gc else []
         )
         print(json.dumps({
+            "rebucketed_to": args.rebucket,
             "compacted": snap is not None,
             "snapshots_expired": len(dropped),
             "orphans_removed": len(removed),

@@ -137,6 +137,88 @@ def remove_orphans(
     return removed
 
 
+def rebucket(
+    table: LakeTable, spark: SparkSession, new_buckets: int
+) -> Snapshot:
+    """Bucket-count evolution: rewrite the table into ``new_buckets``
+    hash buckets as one atomic snapshot commit — the operational lever
+    when a table outgrows its layout (more buckets ⇒ smaller per-epoch
+    touched fraction ⇒ CoW rewrite cost tracks change volume again).
+
+    Correctness across the layout change:
+    - per-bucket LSN watermarks can't be remapped exactly (keys move
+      buckets), so every NEW bucket gets the MIN of the old watermarks —
+      conservative in the SAFE direction: some already-applied rows pass
+      the replay filter again and the LWW MERGE reapplies them
+      idempotently; nothing unapplied is ever skipped.
+    - (epoch, bucket) fences are keyed by the OLD layout and are dropped;
+      min_fenced_epoch is kept, and full-epoch replays below it stay
+      no-ops while later epochs re-run idempotently via the watermark.
+    - readers never see a half-rebucketed table: one snapshot swap.
+
+    At 100 TB this is a background job like compaction (same commit
+    CAS); run it when per-epoch touched-bucket fraction approaches 1.
+    """
+    snap = table.current()
+    df = table.read(spark)
+    from .format import bucket_aligned_write
+
+    import uuid as _uuid
+
+    attempt = _uuid.uuid4().hex[:12]
+    rel_dir = os.path.join("data", f"commit-{attempt}")
+    out_dir = os.path.join(table.root, rel_dir)
+    from pyspark.sql import functions as F
+
+    with bucket_aligned_write(spark):
+        df.repartition(new_buckets, F.col(snap.key_column)).write.mode(
+            "overwrite"
+        ).parquet(out_dir)
+    import pyarrow.parquet as pq
+
+    entries = []
+    for fn in sorted(os.listdir(out_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        b = int(fn.split("-")[1])
+        if pq.ParquetFile(os.path.join(out_dir, fn)).metadata.num_rows == 0:
+            continue
+        entries.append({"path": os.path.join(rel_dir, fn), "bucket": b})
+    min_wm = min(
+        (int(v) for v in snap.watermark.values()), default=-1
+    )
+    import time as _time
+
+    from .format import ConcurrentCommitError, Snapshot as _Snapshot
+    from .format import commit_lock
+
+    with commit_lock(table.root):
+        # optimistic check: the rewrite read snapshot `snap` outside the
+        # lock; if ingest advanced the table since, this data is stale —
+        # refuse and let the caller retry (same loop as any CAS loser)
+        cur = table.current()
+        if cur.version != snap.version:
+            raise ConcurrentCommitError(
+                f"table advanced v{snap.version}→v{cur.version} during "
+                "rebucket rewrite; retry"
+            )
+        new_snap = _Snapshot(
+            version=cur.version + 1,
+            schema=cur.schema,
+            key_column=cur.key_column,
+            num_buckets=new_buckets,
+            files=entries,
+            fences={},
+            watermark={str(b): min_wm for b in range(new_buckets)},
+            min_fenced_epoch=cur.min_fenced_epoch,
+            parent=cur.version,
+            committed_at=_time.time(),
+            props={**cur.props, "rebucketed_from": cur.num_buckets},
+        )
+        table._write_snapshot(new_snap, cas_parent=cur.version)
+    return new_snap
+
+
 def verify(table: LakeTable, spark: SparkSession) -> dict:
     """Post-commit write-verify (reference K4: read-back counts +
     partition histogram, ``notebooks/04_write_parquet.py:119-139``).
