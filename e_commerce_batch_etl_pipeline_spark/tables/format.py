@@ -71,10 +71,17 @@ _TYPE_WIDENING_OK = {
 
 @dataclass
 class TableSchema:
-    """Versioned schema: list of (name, spark-ddl-type, nullable)."""
+    """Versioned schema: list of (name, spark-ddl-type, nullable).
+
+    ``retired`` records every column name ever dropped: parquet scans
+    resolve columns BY NAME (this format carries no Iceberg-style field
+    ids), so re-adding a dropped name would resurrect the old files'
+    values as the new column's data — the zombie-column hazard. Retired
+    names are therefore permanently unavailable."""
 
     fields: list[tuple[str, str, bool]]
     schema_version: int = 0
+    retired: list[str] = field(default_factory=list)
 
     def to_struct(self) -> T.StructType:
         return T.StructType(
@@ -91,6 +98,7 @@ class TableSchema:
         return {
             "schema_version": self.schema_version,
             "fields": [list(f) for f in self.fields],
+            "retired": self.retired,
         }
 
     @staticmethod
@@ -98,23 +106,44 @@ class TableSchema:
         return TableSchema(
             fields=[(n, t, bool(nl)) for n, t, nl in d["fields"]],
             schema_version=int(d["schema_version"]),
+            retired=list(d.get("retired", [])),
         )
 
     def evolved(
         self,
         add_columns: list[tuple[str, str]] | None = None,
         widen: dict[str, str] | None = None,
+        drop_columns: list[str] | None = None,
+        key_column: str | None = None,
     ) -> "TableSchema":
-        """Additive evolution: new nullable columns + integer/float widening.
-
-        Raises on anything that would require a data rewrite (drop, rename,
-        narrowing) — mirroring Iceberg's safe-evolution rules.
+        """Metadata-only evolution: add nullable columns, widen
+        integer/float types, DROP non-key columns (reads clip — the
+        explicit-schema scan simply stops selecting the column from old
+        files; no rewrite, like Iceberg's drop). Raises on anything that
+        would require a data rewrite (rename, narrowing) or break the
+        table (dropping the key column).
         """
         fields = list(self.fields)
         names = {n for n, _, _ in fields}
+        retired = list(self.retired)
+        for name in drop_columns or []:
+            if name not in names:
+                raise ValueError(f"cannot drop unknown column {name}")
+            if key_column is not None and name == key_column:
+                raise ValueError(f"cannot drop key column {name}")
+            fields = [f for f in fields if f[0] != name]
+            names.discard(name)
+            retired.append(name)
         for name, typ in add_columns or []:
             if name in names:
                 raise ValueError(f"column {name} already exists")
+            if name in retired:
+                raise ValueError(
+                    f"column name {name} was dropped earlier and is "
+                    "retired: name-based parquet resolution would "
+                    "resurrect old files' values (no field ids) — "
+                    "choose a new name"
+                )
             fields.append((name, typ, True))
         if widen:
             out = []
@@ -127,7 +156,11 @@ class TableSchema:
                 else:
                     out.append((n, t, nl))
             fields = out
-        return TableSchema(fields=fields, schema_version=self.schema_version + 1)
+        return TableSchema(
+            fields=fields,
+            schema_version=self.schema_version + 1,
+            retired=retired,
+        )
 
 
 def _parse_type(ddl: str) -> T.DataType:
@@ -726,17 +759,23 @@ class LakeTable:
         self,
         add_columns: list[tuple[str, str]] | None = None,
         widen: dict[str, str] | None = None,
+        drop_columns: list[str] | None = None,
     ) -> Snapshot:
         """Metadata-only DDL: publish a snapshot with the evolved schema.
 
-        No data files are touched; readers reconcile at scan time.
+        No data files are touched; readers reconcile at scan time
+        (added columns read as NULL from old files, dropped columns stop
+        being selected, widened ints upcast in the vectorized reader).
         """
         with commit_lock(self.root):
-            return self._evolve_locked(add_columns, widen)
+            return self._evolve_locked(add_columns, widen, drop_columns)
 
-    def _evolve_locked(self, add_columns, widen) -> Snapshot:
+    def _evolve_locked(self, add_columns, widen, drop_columns=None) -> Snapshot:
         snap = self.current()
-        new_schema = snap.schema.evolved(add_columns=add_columns, widen=widen)
+        new_schema = snap.schema.evolved(
+            add_columns=add_columns, widen=widen,
+            drop_columns=drop_columns, key_column=snap.key_column,
+        )
         new_snap = Snapshot(
             version=snap.version + 1,
             schema=new_schema,

@@ -310,3 +310,34 @@ def test_point_lookup_prunes_to_key_buckets(spark, table):
     assert len(used) < len(snap.files)
     # missing keys return nothing
     assert table.lookup(spark, ["doc_does_not_exist"]).count() == 0
+
+
+def test_drop_column_metadata_only(spark, table):
+    """Metadata-only column drop: no data rewrite, old files clip at
+    scan time, key column protected, time travel still sees the column,
+    and the dropped NAME is permanently retired (name-based parquet
+    resolution would otherwise resurrect old values — no field ids)."""
+    files_before = {f["path"] for f in table.current().files}
+    v0 = table.current().version
+    table.evolve_schema(drop_columns=["source"])
+    snap = table.current()
+    assert "source" not in snap.schema.names()
+    assert {f["path"] for f in snap.files} == files_before  # no rewrite
+    df = table.read(spark)
+    assert "source" not in df.columns
+    assert df.count() == 500
+    # time travel to pre-drop still reads the column
+    old = table.read(spark, snapshot=table.snapshot_at(v0))
+    assert "source" in old.columns
+    assert old.filter("source is not null").count() == 500
+    # key column cannot be dropped; unknown column rejected
+    with pytest.raises(ValueError):
+        table.evolve_schema(drop_columns=["doc_id"])
+    with pytest.raises(ValueError):
+        table.evolve_schema(drop_columns=["nope"])
+    # zombie guard: a dropped name can never be re-added
+    with pytest.raises(ValueError, match="retired"):
+        table.evolve_schema(add_columns=[("source", "string")])
+    # a FRESH name works fine
+    table.evolve_schema(add_columns=[("origin", "string")])
+    assert "origin" in table.current().schema.names()
