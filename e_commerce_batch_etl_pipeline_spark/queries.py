@@ -2161,3 +2161,55 @@ GROUP BY 1 ORDER BY doc_id
 
 QUERIES["decontaminate_ngram_overlap"] = decontaminate_ngram_overlap
 ORACLES["decontaminate_ngram_overlap"] = ORACLE_DECONTAMINATE
+
+
+def asof_click_to_view(spark, sf_dir):
+    """As-of join (operator Spark lacks; operators/asof.py): every click
+    event enriched with the user's most recent view at-or-before it —
+    union + window-carry, one shuffle, no range-join product. Oracle:
+    DuckDB LATERAL top-1 subquery with identical (ts DESC, event_id
+    DESC) tie-breaking."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.col("ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("view_cents"),
+    )
+    out = asof_join(
+        clicks, views, on=["user_id"], ts="ts",
+        payload=["view_id", "view_cents"], tiebreak="view_id",
+    )
+    return out.select(
+        "event_id", "user_id", "ts_epoch", "asof_view_id", "asof_view_cents"
+    ).orderBy("event_id")
+
+
+ORACLE_ASOF = """
+WITH clicks AS (
+  SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS ts_epoch, ts
+  FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT event_id AS view_id, user_id, ts,
+         round(value * 100, 0)::BIGINT AS view_cents
+  FROM events WHERE event_type = 'view'
+)
+SELECT c.event_id AS event_id, c.user_id AS user_id, c.ts_epoch AS ts_epoch,
+       v.view_id AS asof_view_id, v.view_cents AS asof_view_cents
+FROM clicks c LEFT JOIN LATERAL (
+  SELECT view_id, view_cents
+  FROM views v
+  WHERE v.user_id = c.user_id AND v.ts <= c.ts
+  ORDER BY v.ts DESC, v.view_id DESC LIMIT 1
+) v ON true
+ORDER BY event_id
+"""
+
+QUERIES["asof_click_to_view"] = asof_click_to_view
+ORACLES["asof_click_to_view"] = ORACLE_ASOF

@@ -121,3 +121,34 @@ def test_pack_sequences_partition_independent(spark):
             ).collect()
         }
         assert got == expected, f"num_chunks={chunks}"
+
+
+def test_asof_join_semantics(spark):
+    """As-of join: inclusive >= matching, equal-ts right rows resolve by
+    tiebreak (last wins), no prior right row -> NULLs, and the plan stays
+    JVM-side."""
+    from e_commerce_batch_etl_pipeline_spark.operators.asof import asof_join
+    from e_commerce_batch_etl_pipeline_spark.plans import (
+        assert_no_python_row_udf,
+    )
+
+    left = spark.createDataFrame(
+        [("u1", 5, "a"), ("u1", 10, "b"), ("u1", 20, "c"), ("u2", 7, "d")],
+        "user string, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        # two right rows at ts=10 for u1: id 102 must win the tie
+        [("u1", 3, 100, 30), ("u1", 10, 101, 40), ("u1", 10, 102, 50),
+         ("u3", 1, 103, 60)],
+        "user string, ts long, rid int, val int",
+    )
+    out = asof_join(left, right, on=["user"], ts="ts",
+                    payload=["rid", "val"], tiebreak="rid")
+    assert_no_python_row_udf(out, allow_arrow=False)
+    got = {(r["user"], r["ts"]): (r["asof_rid"], r["asof_val"])
+           for r in out.collect()}
+    assert got[("u1", 5)] == (100, 30)     # only ts=3 precedes
+    assert got[("u1", 10)] == (102, 50)    # inclusive + tiebreak
+    assert got[("u1", 20)] == (102, 50)    # carried forward
+    assert got[("u2", 7)] == (None, None)  # no right rows for u2
+    assert len(got) == 4                   # left rows preserved exactly
