@@ -2213,3 +2213,57 @@ ORDER BY event_id
 
 QUERIES["asof_click_to_view"] = asof_click_to_view
 ORACLES["asof_click_to_view"] = ORACLE_ASOF
+
+
+def range_join_views_1h(spark, sf_dir):
+    """Range join (operators/rangejoin.py — time-bucket decomposition,
+    no inequality-join product): per click, how many views the same user
+    made in the preceding hour (inclusive) and their total cents."""
+    from .operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("vts_s"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("view_cents"),
+    )
+    j = range_join(
+        clicks, views, on=["user_id"], left_ts="ts_s", right_ts="vts_s",
+        window=3600, how="left",
+    )
+    return (
+        j.groupBy("event_id", "user_id", "ts_s")
+        .agg(
+            F.count(F.col("view_cents")).alias("n_views_1h"),
+            F.coalesce(F.sum("view_cents"), F.lit(0)).cast("long")
+            .alias("cents_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_RANGE_JOIN = """
+WITH clicks AS (
+  SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS ts_s
+  FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS vts_s,
+         round(value * 100, 0)::BIGINT AS view_cents
+  FROM events WHERE event_type = 'view'
+)
+SELECT c.event_id AS event_id, c.user_id AS user_id, c.ts_s AS ts_s,
+       count(v.view_cents) AS n_views_1h,
+       coalesce(sum(v.view_cents), 0)::BIGINT AS cents_1h
+FROM clicks c
+LEFT JOIN views v
+  ON v.user_id = c.user_id
+ AND v.vts_s >= c.ts_s - 3600 AND v.vts_s <= c.ts_s
+GROUP BY 1, 2, 3 ORDER BY event_id
+"""
+
+QUERIES["range_join_views_1h"] = range_join_views_1h
+ORACLES["range_join_views_1h"] = ORACLE_RANGE_JOIN

@@ -152,3 +152,37 @@ def test_asof_join_semantics(spark):
     assert got[("u1", 20)] == (102, 50)    # carried forward
     assert got[("u2", 7)] == (None, None)  # no right rows for u2
     assert len(got) == 4                   # left rows preserved exactly
+
+
+def test_range_join_bucket_decomposition(spark):
+    """Range join: inclusive window bounds, exactly-once pair emission
+    across cell boundaries, left rows preserved with NULLs, and parity
+    with a brute-force nested loop."""
+    from e_commerce_batch_etl_pipeline_spark.operators.rangejoin import (
+        range_join,
+    )
+
+    lrows = [("u1", t) for t in (0, 99, 100, 250, 777)] + [("u2", 100)]
+    rrows = [("u1", t, t * 10) for t in (0, 1, 99, 100, 101, 200, 300)]
+    left = spark.createDataFrame(lrows, "user string, lts long")
+    right = spark.createDataFrame(rrows, "user string, rts long, v long")
+    W = 100
+    got = sorted(
+        (r["user"], r["lts"], r["v"])
+        for r in range_join(left, right, on=["user"], left_ts="lts",
+                            right_ts="rts", window=W).collect()
+    )
+    expected = sorted(
+        (lu, lt, v)
+        for lu, lt in lrows
+        for ru, rt, v in rrows
+        if lu == ru and lt - W <= rt <= lt
+    )
+    assert got == expected  # exactly-once, inclusive both ends
+    # left join preserves unmatched rows
+    lj = range_join(left, right, on=["user"], left_ts="lts",
+                    right_ts="rts", window=W, how="left")
+    rows = [(r["user"], r["lts"], r["v"]) for r in lj.collect()]
+    assert ("u2", 100, None) in rows
+    matched = [t for t in rows if t[2] is not None]
+    assert sorted(matched) == expected
