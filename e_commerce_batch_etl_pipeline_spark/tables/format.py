@@ -528,12 +528,18 @@ class LakeTable:
         return base.join(F.broadcast(kdf), key, "left_semi")
 
     def changes_between(
-        self, spark: SparkSession, from_version: int, to_version: int
+        self, spark: SparkSession, from_version: int, to_version: int,
+        include_old: bool = False,
     ) -> DataFrame:
         """Incremental change feed (the Delta-CDF / Iceberg-CDC read
         surface): NET row-level changes between two committed snapshots,
         as (_change_op, key, payload...) — ``I`` inserted, ``U`` updated
         (payload differs), ``D`` deleted.
+
+        ``include_old=True`` appends ``_old_<col>`` columns carrying the
+        PRE-image for U/D rows (NULL on I) — what an incremental
+        aggregate/materialized-view maintainer needs to retract the old
+        contribution before applying the new one.
 
         Scale shape: both snapshot reads are FILE-PRUNED to the buckets
         whose file sets differ between the versions — cost is
@@ -562,11 +568,19 @@ class LakeTable:
             # payload...) — a key column that isn't first in the schema
             # must not reorder the empty result
             fields_by_name = {f.name: f for f in target.fields}
+            old_fields = (
+                [
+                    T.StructField(f"_old_{c}", fields_by_name[c].dataType)
+                    for c in payload
+                ]
+                if include_old else []
+            )
             return spark.createDataFrame(
                 [], T.StructType(
                     [T.StructField("_change_op", T.StringType()),
                      fields_by_name[key]]
                     + [fields_by_name[c] for c in payload]
+                    + old_fields
                 )
             )
 
@@ -595,12 +609,21 @@ class LakeTable:
         side = F.when(F.col("_inn").isNull(), F.col("_old")).otherwise(
             F.col("_new")
         )
+        old_cols = (
+            [
+                F.when(F.col("_ino").isNotNull(), F.col("_old").getField(c))
+                .alias(f"_old_{c}")
+                for c in payload
+            ]
+            if include_old else []
+        )
         return (
             j.withColumn("_change_op", op)
             .filter(F.col("_change_op").isNotNull())
             .select(
                 "_change_op", key,
                 *[side.getField(c).alias(c) for c in payload],
+                *old_cols,
             )
         )
 

@@ -343,3 +343,41 @@ def test_changes_between_incremental_feed(spark, tmpdir_clean, mode):
         assert apay["source"] == pay["source"]
     # no-change version range → empty feed
     assert table.changes_between(spark, v2, v2).count() == 0
+
+
+def test_incremental_rollup_tracks_recompute(spark, tmpdir_clean):
+    """Continuous aggregate: after every epoch, maintaining the
+    (source -> n, sum n_tok) rollup incrementally from the change feed
+    equals a full recompute over the table — in both merge modes the
+    feed sees the same NET changes (covers I/U/D and group moves, since
+    updates can change a doc's source)."""
+    from e_commerce_batch_etl_pipeline_spark.tables.rollup import (
+        incremental_rollup,
+    )
+
+    table, wal, base = _setup(spark, tmpdir_clean)
+    eng = CdcEngine(spark, table, wal, os.path.join(tmpdir_clean, "ckpt"))
+    state = None
+    v_prev = table.current().version
+    # bootstrap the rollup from the initial table state
+    state = (
+        table.read(spark).groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("n_tok").cast("long").alias("total"))
+    ).localCheckpoint()
+    for e in range(3):
+        eng.run(max_epochs=1)
+        v_now = table.current().version
+        state = incremental_rollup(
+            table, spark, v_prev, v_now, state, "source", "n_tok"
+        ).localCheckpoint()
+        v_prev = v_now
+        expected = {
+            (r["source"], r["n"], r["total"])
+            for r in table.read(spark).groupBy("source").agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("n_tok").cast("long").alias("total"),
+            ).collect()
+        }
+        got = {(r["source"], r["n"], r["total"]) for r in state.collect()}
+        assert got == expected, f"epoch {e}: {got} != {expected}"
