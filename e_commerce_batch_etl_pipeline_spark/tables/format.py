@@ -677,8 +677,30 @@ class LakeTable:
         rows_applied: int = 0,
         props: dict | None = None,
         delta: bool = False,
+        expected_version: int | None = None,
+        replace_files: list[str] | None = None,
     ) -> Snapshot | None:
         """Publish a new snapshot for ``replaced_buckets``.
+
+        ``expected_version``: optimistic-concurrency guard for commits
+        whose NEW FILES were derived from a snapshot read OUTSIDE the
+        lock (rebucket): if the table advanced past that version,
+        publishing would dereference data the files don't contain (lost
+        update) — raise ConcurrentCommitError so the caller re-reads and
+        retries. Ingest epochs don't need it: their files carry the
+        epoch's changes, not a rewrite of prior state.
+
+        ``replace_files``: FILE-level rewrite (Iceberg rewrite_data_files
+        shape, used by compaction): the new snapshot dereferences exactly
+        these paths and adds ``new_files``; files committed by concurrent
+        ingest since the rewrite's read stay live on top (read-time LWW
+        gives them precedence — folded base rows scan with lsn=-1). The
+        conflict check is precise: if any listed path is already gone
+        (another rewrite folded it), ConcurrentCommitError. This is what
+        lets compaction run as a BACKGROUND job without livelocking
+        against continuous ingest (a whole-table version guard would
+        lose every race once epochs outpace the rewrite).
+        Fences/watermarks are untouched in this mode.
 
         ``delta=False`` (copy-on-write): the buckets' previous files are
         dereferenced and ``new_files`` replace them.
@@ -694,15 +716,47 @@ class LakeTable:
         with commit_lock(self.root):
             return self._commit_locked(
                 epoch, replaced_buckets, new_files, bucket_max_lsn,
-                rows_applied, props, delta,
+                rows_applied, props, delta, expected_version,
+                replace_files,
             )
 
     def _commit_locked(
         self, epoch, replaced_buckets, new_files, bucket_max_lsn,
-        rows_applied, props, delta=False,
+        rows_applied, props, delta=False, expected_version=None,
+        replace_files=None,
     ) -> Snapshot | None:
         # re-read under the lock: CAS against concurrent writers
         snap = self.current()
+        if expected_version is not None and snap.version != expected_version:
+            raise ConcurrentCommitError(
+                f"table advanced v{expected_version}→v{snap.version} since "
+                "the rewrite read its input; retry against the new state"
+            )
+        if replace_files is not None:
+            live = {f["path"] for f in snap.files}
+            gone = set(replace_files) - live
+            if gone:
+                raise ConcurrentCommitError(
+                    f"{len(gone)} rewrite input files already dereferenced "
+                    "(concurrent rewrite folded them); retry"
+                )
+            replace_set = set(replace_files)
+            new_snap = Snapshot(
+                version=snap.version + 1,
+                schema=snap.schema,
+                key_column=snap.key_column,
+                num_buckets=snap.num_buckets,
+                files=[f for f in snap.files if f["path"] not in replace_set]
+                + new_files,
+                fences=snap.fences,
+                watermark=snap.watermark,
+                min_fenced_epoch=snap.min_fenced_epoch,
+                parent=snap.version,
+                committed_at=time.time(),
+                props={**snap.props, **(props or {})},
+            )
+            self._write_snapshot(new_snap, cas_parent=snap.version)
+            return new_snap
         if replaced_buckets and snap.units_fenced(epoch, replaced_buckets):
             return None  # already applied — exactly-once fence
         replaced = set(replaced_buckets)

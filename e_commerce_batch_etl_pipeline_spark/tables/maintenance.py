@@ -45,17 +45,27 @@ def compact(
     )
     if not frag:
         return None
-    df = table.read(spark, buckets=frag)
+    # fold exactly the files the fragmentation scan saw (read pinned to
+    # `snap`): the LWW-resolved content of those base+delta files becomes
+    # the new base. Publishing uses FILE-level replacement (Iceberg
+    # rewrite_data_files shape): delta files committed by concurrent
+    # ingest SINCE this read stay live on top — correct because folded
+    # base rows scan with lsn=-1, so any later delta wins read-time LWW.
+    # Conflicts are precise (another rewrite folded the same inputs →
+    # ConcurrentCommitError retry), which is what lets compaction run as
+    # a background job without livelocking against continuous ingest.
+    input_paths = [
+        f["path"] for f in snap.files if f["bucket"] in set(frag)
+    ]
+    df = table.read(spark, buckets=frag, snapshot=snap)
     new_files = table.write_data_files(df, frag)
-    # epoch tag for compaction commits: negative, below bootstrap
     return table.commit(
         epoch=-(snap.version + 2),
-        replaced_buckets=frag,
+        replaced_buckets=[],
         new_files=new_files,
-        bucket_max_lsn={
-            b: int(snap.watermark.get(str(b), -1)) for b in frag
-        },
+        bucket_max_lsn={},
         props={"compaction": True, "buckets": len(frag)},
+        replace_files=input_paths,
     )
 
 

@@ -29,6 +29,10 @@ def main() -> None:
     ap.add_argument("--scale-div", type=int, default=1)
     ap.add_argument("--cores", type=int, default=16)
     ap.add_argument("--compact-files", type=int, default=8)
+    ap.add_argument("--defer-compaction", action="store_true",
+                    help="production shape: ingest never compacts "
+                         "inline; a background maintain subprocess folds "
+                         "deltas concurrently (own Spark session)")
     args = ap.parse_args()
 
     base_n = 5_000_000 // args.scale_div
@@ -74,9 +78,39 @@ def main() -> None:
 
         eng = CdcEngine(
             spark, table, WalSource(f"{root}/wal"), f"{root}/ckpt",
-            merge_mode="mor", mor_compact_files=args.compact_files,
+            merge_mode="mor",
+            mor_compact_files=(None if args.defer_compaction
+                               else args.compact_files),
             audit_quarantine=False,
         )
+        maint = None
+        if args.defer_compaction:
+            import subprocess
+
+            maint_script = f"""
+import sys, time
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+from e_commerce_batch_etl_pipeline_spark.session import build_session
+from e_commerce_batch_etl_pipeline_spark.tables.format import (
+    ConcurrentCommitError, LakeTable)
+from e_commerce_batch_etl_pipeline_spark.tables.maintenance import compact
+spark = build_session(master="local[8]", shuffle_partitions=8)
+t = LakeTable({(root + "/table")!r})
+import json as _json
+while True:
+    try:
+        snap = compact(t, spark, max_files_per_bucket={args.compact_files})
+        if snap is not None:
+            print(_json.dumps({{"bg_compacted_to_version": snap.version}}),
+                  flush=True)
+    except ConcurrentCommitError:
+        pass
+    time.sleep(5)
+"""
+            maint = subprocess.Popen(
+                [sys.executable, "-c", maint_script],
+                stdout=sys.stderr, stderr=subprocess.DEVNULL,
+            )
         timed_events = 0
         timed_sec = 0.0
         for e in range(epochs):
@@ -102,6 +136,9 @@ def main() -> None:
                 "table_rows": n_rows,
             }), flush=True)
 
+        if maint is not None:
+            maint.terminate()
+            maint.wait(timeout=30)
         rep = verify(table, spark)
         print(json.dumps({
             "stage": "summary",

@@ -224,3 +224,109 @@ def test_rebucket_grows_layout_preserving_state(spark, tmpdir_clean):
     # point lookup routes through the new bucket count
     k = before[0][0]
     assert table.lookup(spark, [k]).count() == 1
+
+
+def test_compaction_lost_update_guard(spark, replayed):
+    """Background-compaction safety: a compaction-style commit whose
+    input was read at version V must REFUSE to publish once ingest
+    advanced the table (its rewrite doesn't contain the new deltas);
+    a retry against the current state succeeds."""
+    from e_commerce_batch_etl_pipeline_spark.tables.format import (
+        ConcurrentCommitError,
+    )
+
+    v0 = replayed.current().version
+    # ingest advances the table after the (simulated) compaction read
+    replayed.commit(epoch=50, replaced_buckets=[0], new_files=[],
+                    bucket_max_lsn={0: 10_000}, delta=True)
+    with pytest.raises(ConcurrentCommitError, match="advanced"):
+        replayed.commit(
+            epoch=-(v0 + 2), replaced_buckets=[0], new_files=[],
+            bucket_max_lsn={0: 1}, expected_version=v0,
+        )
+    # the retry loop re-reads and compacts the CURRENT state fine
+    before = _state(spark, replayed)
+    assert compact(replayed, spark, max_files_per_bucket=0) is not None
+    assert _state(spark, replayed) == before
+
+
+def test_background_compaction_lands_under_live_ingest(spark, tmpdir_clean):
+    """File-level rewrite commits let background compaction FOLD while
+    ingest keeps committing: deltas added after the fold's read stay
+    live on top (read-time LWW beats folded base rows), final state
+    equals the pandas oracle, and at least one fold actually lands
+    (the whole-table version guard would livelock here)."""
+    import subprocess
+    import sys
+    import time as _time
+
+    from e_commerce_batch_etl_pipeline_spark.sources.datagen import (
+        write_wal,
+    )
+    from e_commerce_batch_etl_pipeline_spark.sources.wal import WalSource
+    from e_commerce_batch_etl_pipeline_spark.streaming.bootstrap import (
+        bootstrap_table,
+    )
+    from e_commerce_batch_etl_pipeline_spark.streaming.microbatch import (
+        CdcEngine,
+    )
+    from tests.oracle import assert_states_equal, replay as oracle_replay
+
+    base = generate_base_docs(spark, 500, seed=31, max_len=16)
+    table = bootstrap_table(
+        os.path.join(tmpdir_clean, "t"), base, num_buckets=4
+    )
+    wal_root = os.path.join(tmpdir_clean, "wal")
+    write_wal(spark, wal_root, 6, 400, 500, seed=31, max_len=16)
+
+    compact_script = f"""
+import sys, time, json
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+from e_commerce_batch_etl_pipeline_spark.session import build_session
+from e_commerce_batch_etl_pipeline_spark.tables.format import (
+    ConcurrentCommitError, LakeTable)
+from e_commerce_batch_etl_pipeline_spark.tables.maintenance import compact
+spark = build_session(master="local[2]", shuffle_partitions=2)
+t = LakeTable({table.root!r})
+landed = 0
+for _ in range(40):
+    try:
+        if compact(t, spark, max_files_per_bucket=1) is not None:
+            landed += 1
+    except ConcurrentCommitError:
+        pass
+    time.sleep(0.5)
+print(json.dumps({{"landed": landed}}))
+"""
+    proc = subprocess.Popen(
+        [sys.executable, "-c", compact_script],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    try:
+        eng = CdcEngine(
+            spark, table, WalSource(wal_root),
+            os.path.join(tmpdir_clean, "ckpt"), merge_mode="mor",
+            mor_compact_files=None, audit_quarantine=False,
+        )
+        for e in range(6):
+            eng.run(max_epochs=1)
+            _time.sleep(1.0)
+    finally:
+        out, _ = proc.communicate(timeout=120)
+    import json as _json
+
+    landed = _json.loads(out.strip().splitlines()[-1])["landed"]
+    assert landed >= 1, "no background fold ever landed (livelock?)"
+
+    payload = ["tokens", "n_tok", "source"]
+    base_rows = [r.asDict() for r in base.collect()]
+    env = []
+    wal = WalSource(wal_root)
+    for e in wal.epochs():
+        env += [r.asDict() for r in wal.read_epoch(spark, e).collect()]
+    expected = oracle_replay(base_rows, env, payload)
+    actual = {
+        r["doc_id"]: {c: r[c] for c in payload}
+        for r in table.read(spark).collect()
+    }
+    assert_states_equal(expected, actual)
