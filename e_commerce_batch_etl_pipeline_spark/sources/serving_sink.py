@@ -256,10 +256,17 @@ class ServingScanReader(DataSourceReader):
         for i in range(self.num_partitions):
             a = lo + i * step
             b = hi + 1 if i == self.num_partitions - 1 else a + step
-            parts.append(InputPartition(
+            pred = (
                 f'"{self.partition_column}" >= {a} '
                 f'AND "{self.partition_column}" < {b}'
-            ))
+            )
+            if i == 0:
+                # rows with a NULL partition column fail EVERY range
+                # predicate (NULL comparisons) and would silently vanish
+                # from the scan; fold them into the first partition —
+                # the same rule as Spark's JDBC partitioned reader.
+                pred = f'({pred} OR "{self.partition_column}" IS NULL)'
+            parts.append(InputPartition(pred))
         return parts
 
     def read(self, partition: InputPartition):

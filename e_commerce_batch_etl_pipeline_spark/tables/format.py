@@ -45,7 +45,19 @@ from pyspark.sql import types as T
 
 VERSION_FILE = "VERSION"
 LOCK_FILE = "COMMIT_LOCK"
+# A lock older than this is presumed crashed and taken over. MUST exceed
+# the longest lock-holding operation (remove_orphans walking a large
+# table, expire_snapshots listing history) — an owner that legitimately
+# stalls past this horizon can lose its lease to a waiter, and only the
+# pre-publish ownership re-check in _write_snapshot keeps the expired
+# leaseholder from publishing a lost update.
 LOCK_STALE_SEC = 300.0
+# How long a writer WAITS on a fresh (non-stale) lock before giving up.
+# Transient contention (ingest committing while background compaction/GC
+# holds the lock for a few seconds) resolves by waiting, not failing:
+# fail-fast here made live ingest nondeterministically abort under
+# background maintenance. True conflicts (CAS/rewrite) still fail fast.
+LOCK_WAIT_SEC = 60.0
 # fence retention horizon: keep the last N ingest epochs' (epoch, bucket)
 # fences verbatim; older ingest epochs collapse into min_fenced_epoch.
 # Negative epochs are special (bootstrap=-1, compaction=-(version+2));
@@ -257,30 +269,38 @@ def _parquet_rows(path: str) -> int:
 
 
 @contextmanager
-def commit_lock(root: str):
+def commit_lock(root: str, wait_sec: float | None = None):
     """Exclusive advisory commit lock (O_CREAT|O_EXCL — atomic on POSIX).
 
     The snapshot log is single-writer by design (SURVEY.md §7.2); this
     turns the *assumption* into an enforced invariant: two engines
-    committing to one table serialize or fail fast instead of silently
+    committing to one table serialize instead of silently
     last-write-winning the VERSION pointer.
 
-    Stale locks (crashed writer) are taken over ATOMICALLY: the waiter
-    ``os.rename``s the stale lock to a unique claim name — only one of N
-    racing waiters wins the rename (the losers get ENOENT) — then
-    recreates the lock with O_EXCL. Release verifies ownership (the lock
-    body carries a per-acquisition token) so a waiter that legitimately
-    took over a stale lock is never unlocked by the crashed owner's
-    ``finally``.
+    A FRESH lock held by a live writer is WAITED on (bounded exponential
+    backoff up to ``wait_sec``) — background maintenance (compaction, GC)
+    holding the lock for seconds must not abort live ingest; only after
+    the wait budget is exhausted does ConcurrentCommitError surface.
+    Fail-fast is reserved for true conflicts (snapshot CAS, rewrite-input
+    dereference), where retrying the same commit would publish a lost
+    update.
 
-    Residual hazard (inherent to every timeout-leased lock): an owner
-    that stalls past LOCK_STALE_SEC and resumes exactly between its
-    release-path ownership read and the unlink can remove a taker-over's
-    fresh lock. Correctness does not rest on the lock alone: commits are
-    backstopped by the snapshot CAS in ``_write_snapshot`` (an expired
-    leaseholder cannot publish over a newer VERSION) and GC by the
-    min-age gate in ``remove_orphans``.
+    Stale locks (crashed writer, age > LOCK_STALE_SEC) are taken over
+    ATOMICALLY: the waiter ``os.rename``s the stale lock to a unique
+    claim name — only one of N racing waiters wins the rename (the losers
+    get ENOENT and return to the wait loop) — then recreates the lock
+    with O_EXCL. Release verifies ownership (the lock body carries a
+    per-acquisition token) so a waiter that legitimately took over a
+    stale lock is never unlocked by the crashed owner's ``finally``.
+
+    Yields the ownership token; ``_write_snapshot`` re-verifies it
+    immediately before the VERSION swap, so an owner that stalled past
+    LOCK_STALE_SEC and lost its lease cannot publish a lost update over
+    the taker-over's commit (the residual read-then-replace window is
+    additionally backstopped by the snapshot CAS).
     """
+    if wait_sec is None:
+        wait_sec = LOCK_WAIT_SEC  # resolved at call time (patchable)
     path = os.path.join(root, "metadata", LOCK_FILE)
     token = f"{os.getpid()}:{uuid.uuid4().hex}"
 
@@ -289,37 +309,44 @@ def commit_lock(root: str):
         os.write(fd, f"{token} {time.time()}".encode())
         os.close(fd)
 
-    try:
-        _acquire()
-    except FileExistsError:
+    deadline = time.monotonic() + wait_sec
+    backoff = 0.02
+    while True:
+        try:
+            _acquire()
+            break
+        except FileExistsError:
+            pass
         try:
             age = time.time() - os.path.getmtime(path)
         except OSError:
-            age = 0.0
-        if age <= LOCK_STALE_SEC:
+            continue  # lock vanished between EXISTS and stat — retry now
+        if age > LOCK_STALE_SEC:
+            # stale: claim via atomic rename — exactly one waiter succeeds
+            claim = f"{path}.stale.{uuid.uuid4().hex}"
+            try:
+                os.rename(path, claim)
+            except OSError:
+                pass  # lost the takeover race — back to the wait loop
+            else:
+                try:
+                    os.remove(claim)
+                except OSError:
+                    pass
+                try:
+                    _acquire()
+                    break
+                except FileExistsError:
+                    pass  # re-taken during takeover — back to the loop
+        if time.monotonic() >= deadline:
             raise ConcurrentCommitError(
-                f"commit lock held ({path}, age {age:.0f}s)"
+                f"commit lock held ({path}, age {age:.0f}s, waited "
+                f"{wait_sec:.0f}s)"
             ) from None
-        # stale: claim it via atomic rename — exactly one waiter succeeds
-        claim = f"{path}.stale.{uuid.uuid4().hex}"
-        try:
-            os.rename(path, claim)
-        except OSError:
-            raise ConcurrentCommitError(
-                f"commit lock takeover lost ({path})"
-            ) from None
-        try:
-            os.remove(claim)
-        except OSError:
-            pass
-        try:
-            _acquire()
-        except FileExistsError:
-            raise ConcurrentCommitError(
-                f"commit lock re-taken during takeover ({path})"
-            ) from None
+        time.sleep(backoff)
+        backoff = min(backoff * 2, 0.5)
     try:
-        yield
+        yield token
     finally:
         # release only if we still own it (takeover-safe)
         try:
@@ -554,13 +581,25 @@ class LakeTable:
         s1 = self.snapshot_at(from_version)
         s2 = self.snapshot_at(to_version)
         key = s2.key_column
-        files1 = {b: sorted(f["path"] for f in s1.files if f["bucket"] == b)
-                  for b in range(s1.num_buckets)}
-        files2 = {b: sorted(f["path"] for f in s2.files if f["bucket"] == b)
-                  for b in range(s2.num_buckets)}
-        changed = sorted(
-            b for b in range(s2.num_buckets) if files1.get(b) != files2.get(b)
-        )
+        if s1.num_buckets == s2.num_buckets:
+            files1 = {b: sorted(f["path"] for f in s1.files if f["bucket"] == b)
+                      for b in range(s1.num_buckets)}
+            files2 = {b: sorted(f["path"] for f in s2.files if f["bucket"] == b)
+                      for b in range(s2.num_buckets)}
+            changed = sorted(
+                b for b in range(s2.num_buckets)
+                if files1.get(b) != files2.get(b)
+            )
+            old_buckets = new_buckets = changed
+        else:
+            # a rebucket in the range: bucket ids are NOT comparable
+            # between the layouts (keys moved buckets, and under a SHRINK
+            # s1 buckets >= s2.num_buckets would silently drop out of a
+            # pruned old-side read, surfacing live rows as spurious I).
+            # Diff the full table — no pruning is sound across a layout
+            # change.
+            changed = list(range(s2.num_buckets))
+            old_buckets = new_buckets = None
         target = s2.schema.to_struct()
         payload = [f.name for f in target.fields if f.name != key]
         if not changed:
@@ -592,8 +631,8 @@ class LakeTable:
             ]
             return df.select(*cols)
 
-        old = normalize(self.read(spark, buckets=changed, snapshot=s1))
-        new = normalize(self.read(spark, buckets=changed, snapshot=s2))
+        old = normalize(self.read(spark, buckets=old_buckets, snapshot=s1))
+        new = normalize(self.read(spark, buckets=new_buckets, snapshot=s2))
         o = old.select(
             F.col(key), F.struct(*payload).alias("_old"), F.lit(1).alias("_ino")
         )
@@ -713,17 +752,17 @@ class LakeTable:
         call is a no-op returning None (replay safety). Atomicity: the
         VERSION pointer swap is a single ``os.replace``.
         """
-        with commit_lock(self.root):
+        with commit_lock(self.root) as tok:
             return self._commit_locked(
                 epoch, replaced_buckets, new_files, bucket_max_lsn,
                 rows_applied, props, delta, expected_version,
-                replace_files,
+                replace_files, lock_token=tok,
             )
 
     def _commit_locked(
         self, epoch, replaced_buckets, new_files, bucket_max_lsn,
         rows_applied, props, delta=False, expected_version=None,
-        replace_files=None,
+        replace_files=None, lock_token=None,
     ) -> Snapshot | None:
         # re-read under the lock: CAS against concurrent writers
         snap = self.current()
@@ -755,7 +794,8 @@ class LakeTable:
                 committed_at=time.time(),
                 props={**snap.props, **(props or {})},
             )
-            self._write_snapshot(new_snap, cas_parent=snap.version)
+            self._write_snapshot(new_snap, cas_parent=snap.version,
+                                 lock_token=lock_token)
             return new_snap
         if replaced_buckets and snap.units_fenced(epoch, replaced_buckets):
             return None  # already applied — exactly-once fence
@@ -799,7 +839,8 @@ class LakeTable:
             committed_at=time.time(),
             props={**snap.props, **(props or {}), "rows_applied": rows_applied},
         )
-        self._write_snapshot(new_snap, cas_parent=snap.version)
+        self._write_snapshot(new_snap, cas_parent=snap.version,
+                             lock_token=lock_token)
         return new_snap
 
     def adopt_delta_files(
@@ -844,10 +885,12 @@ class LakeTable:
         (added columns read as NULL from old files, dropped columns stop
         being selected, widened ints upcast in the vectorized reader).
         """
-        with commit_lock(self.root):
-            return self._evolve_locked(add_columns, widen, drop_columns)
+        with commit_lock(self.root) as tok:
+            return self._evolve_locked(add_columns, widen, drop_columns,
+                                       lock_token=tok)
 
-    def _evolve_locked(self, add_columns, widen, drop_columns=None) -> Snapshot:
+    def _evolve_locked(self, add_columns, widen, drop_columns=None,
+                       lock_token=None) -> Snapshot:
         snap = self.current()
         new_schema = snap.schema.evolved(
             add_columns=add_columns, widen=widen,
@@ -866,11 +909,13 @@ class LakeTable:
             committed_at=time.time(),
             props=snap.props,
         )
-        self._write_snapshot(new_snap, cas_parent=snap.version)
+        self._write_snapshot(new_snap, cas_parent=snap.version,
+                             lock_token=lock_token)
         return new_snap
 
     def _write_snapshot(
-        self, snap: Snapshot, cas_parent: int | None = None
+        self, snap: Snapshot, cas_parent: int | None = None,
+        lock_token: str | None = None,
     ) -> None:
         """Two-phase publish: write the immutable snapshot file, then swap
         the VERSION pointer. A crash between the phases leaves an ORPHAN
@@ -889,6 +934,13 @@ class LakeTable:
         racers can never write the same key). A loser retries: re-read
         VERSION, re-check fences (idempotent), re-commit. See README
         'Commit protocol on object storage'.
+
+        ``lock_token``: the caller's commit-lock ownership token.
+        Re-verified immediately before the VERSION swap: an owner that
+        stalled past LOCK_STALE_SEC and lost its lease to a waiter would
+        otherwise pass the CAS read (non-atomic read-then-replace) and
+        silently clobber the taker-over's commit. With the re-check, the
+        expired leaseholder aborts instead of publishing a lost update.
         """
         md = os.path.join(self.root, "metadata")
         vpath = os.path.join(md, VERSION_FILE)
@@ -909,6 +961,19 @@ class LakeTable:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, path)
+        if lock_token is not None:
+            lpath = os.path.join(md, LOCK_FILE)
+            try:
+                with open(lpath) as f:
+                    owner = f.read().split(" ", 1)[0]
+            except OSError:
+                owner = None
+            if owner != lock_token:
+                raise ConcurrentCommitError(
+                    "commit lock lease lost before publish (stalled past "
+                    f"LOCK_STALE_SEC and taken over? {lpath}) — aborting "
+                    "instead of clobbering the new owner's commit"
+                )
         vtmp = vpath + ".tmp"
         with open(vtmp, "w") as f:
             f.write(name)

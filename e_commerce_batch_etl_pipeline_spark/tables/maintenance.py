@@ -169,8 +169,12 @@ def rebucket(
     At 100 TB this is a background job like compaction (same commit
     CAS); run it when per-epoch touched-bucket fraction approaches 1.
     """
+    # pin the read to the SAME snapshot the version guard checks: a commit
+    # landing between two separate current() calls would spuriously fail
+    # the guard even though the rewrite read the newer state (wasted
+    # full-table rewrite)
     snap = table.current()
-    df = table.read(spark)
+    df = table.read(spark, snapshot=snap)
     from .format import bucket_aligned_write
 
     import uuid as _uuid
@@ -202,7 +206,7 @@ def rebucket(
     from .format import ConcurrentCommitError, Snapshot as _Snapshot
     from .format import commit_lock
 
-    with commit_lock(table.root):
+    with commit_lock(table.root) as tok:
         # optimistic check: the rewrite read snapshot `snap` outside the
         # lock; if ingest advanced the table since, this data is stale —
         # refuse and let the caller retry (same loop as any CAS loser)
@@ -225,7 +229,8 @@ def rebucket(
             committed_at=_time.time(),
             props={**cur.props, "rebucketed_from": cur.num_buckets},
         )
-        table._write_snapshot(new_snap, cas_parent=cur.version)
+        table._write_snapshot(new_snap, cas_parent=cur.version,
+                              lock_token=tok)
     return new_snap
 
 

@@ -330,3 +330,62 @@ print(json.dumps({{"landed": landed}}))
         for r in table.read(spark).collect()
     }
     assert_states_equal(expected, actual)
+
+
+def test_changes_between_spans_shrink_rebucket(spark, tmpdir_clean):
+    """changes_between across a bucket-count change must not prune by
+    bucket id (ids are not comparable between layouts): across a SHRINK,
+    rows in old buckets >= new_count would vanish from the old-side read
+    and surface as spurious inserts."""
+    from e_commerce_batch_etl_pipeline_spark.sources.wal import WalSource
+    from e_commerce_batch_etl_pipeline_spark.streaming.bootstrap import (
+        bootstrap_table,
+    )
+    from e_commerce_batch_etl_pipeline_spark.streaming.microbatch import (
+        CdcEngine,
+    )
+    from e_commerce_batch_etl_pipeline_spark.tables.maintenance import (
+        rebucket,
+    )
+
+    base = generate_base_docs(spark, 300, seed=31, max_len=8)
+    table = bootstrap_table(
+        os.path.join(tmpdir_clean, "t"), base, num_buckets=8
+    )
+    wal_root = os.path.join(tmpdir_clean, "wal")
+    write_wal(spark, wal_root, 2, 200, 300, seed=31, max_len=8)
+    eng = CdcEngine(spark, table, WalSource(wal_root),
+                    os.path.join(tmpdir_clean, "c"))
+    eng.run(max_epochs=1)
+    v1 = table.current().version
+
+    # shrink 8 -> 2: logical state unchanged, so the change feed over the
+    # rebucket must be EMPTY (the pruning bug made unchanged rows in old
+    # buckets 2..7 surface as 'I')
+    rebucket(table, spark, new_buckets=2)
+    v_rb = table.current().version
+    assert table.changes_between(spark, v1, v_rb).count() == 0
+
+    # ingest another epoch on the new layout; the feed across the whole
+    # range (v1 -> v2, spanning the rebucket) equals the logical diff
+    eng.run(max_epochs=1)
+    v2 = table.current().version
+    feed = table.changes_between(spark, v1, v2)
+    old_rows = {
+        r["doc_id"]: (tuple(r["tokens"]), r["n_tok"], r["source"])
+        for r in table.read(spark, snapshot=table.snapshot_at(v1)).collect()
+    }
+    new_rows = {
+        r["doc_id"]: (tuple(r["tokens"]), r["n_tok"], r["source"])
+        for r in table.read(spark, snapshot=table.snapshot_at(v2)).collect()
+    }
+    expect = {}
+    for k in set(old_rows) | set(new_rows):
+        if k not in old_rows:
+            expect[k] = "I"
+        elif k not in new_rows:
+            expect[k] = "D"
+        elif old_rows[k] != new_rows[k]:
+            expect[k] = "U"
+    got = {r["doc_id"]: r["_change_op"] for r in feed.collect()}
+    assert got == expect

@@ -357,3 +357,33 @@ def test_serving_reader_unpushable_literal_yields_back(spark, tmpdir_clean):
     got = back.filter(F.col("d") == F.lit(datetime.date(2024, 1, 5)))
     assert got.count() == 1
     assert got.collect()[0]["k"] == 4
+
+
+def test_serving_partitioned_scan_keeps_null_partition_rows(
+    spark, tmpdir_clean
+):
+    """Rows with a NULL partition_column fail every range predicate and
+    would silently vanish from a partitioned scan; the first partition
+    folds them in (Spark JDBC's 'OR col IS NULL' rule)."""
+    from e_commerce_batch_etl_pipeline_spark.sources.serving_sink import (
+        ServingSinkDataSource,
+    )
+
+    spark.dataSource.register(ServingSinkDataSource)
+    db = os.path.join(tmpdir_clean, "serve3.duckdb")
+    src = spark.range(200).select(
+        F.when(F.col("id") % 7 == 0, None)
+        .otherwise(F.col("id")).alias("order_id"),
+        (F.col("id") % 5).alias("qty"),
+    )
+    (src.write.format("serving")
+        .option("path", db).option("table", "curated")
+        .mode("append").save())
+    back = (spark.read.format("serving")
+            .option("path", db).option("table", "curated")
+            .option("partition_column", "order_id")
+            .option("num_partitions", "4")
+            .load())
+    assert back.count() == 200  # 29 NULL-keyed rows included
+    assert back.filter(F.col("order_id").isNull()).count() == \
+        src.filter(F.col("order_id").isNull()).count()
