@@ -106,15 +106,24 @@ def remove_orphans(
 
     from .format import commit_lock
 
+    import json
+
     removed = []
     with commit_lock(table.root):
         live: set[str] = set()
+        live_manifests: set[str] = set()
+        md_dir = os.path.join(table.root, "metadata")
         for v in table.history():
             try:
                 snap = table.snapshot_at(v)
+                with open(
+                    os.path.join(md_dir, f"snapshot-{v:08d}.json")
+                ) as f:
+                    raw = json.load(f)
             except FileNotFoundError:
                 continue  # expired between listdir and open — not live
             live.update(f["path"] for f in snap.files)
+            live_manifests.update((raw.get("manifests") or {}).values())
         data_root = os.path.join(table.root, "data")
         now = time.time()
 
@@ -144,6 +153,16 @@ def remove_orphans(
                 for r in dead:
                     os.remove(os.path.join(table.root, r))
                     removed.append(r)
+        # manifest files no retained snapshot references (expired history
+        # or crashed pre-publish attempts); content-addressed + immutable,
+        # so "unreferenced and old" is safe under the held commit lock
+        for fn in os.listdir(md_dir):
+            if not (fn.startswith("manifest-") and fn.endswith(".json")):
+                continue
+            p = os.path.join(md_dir, fn)
+            if fn not in live_manifests and _old_enough(p):
+                os.remove(p)
+                removed.append(os.path.join("metadata", fn))
     return removed
 
 

@@ -396,3 +396,56 @@ def test_drop_column_metadata_only(spark, table):
     # a FRESH name works fine
     table.evolve_schema(add_columns=[("origin", "string")])
     assert "origin" in table.current().schema.names()
+
+
+def test_manifest_reuse_across_commits(spark, table):
+    """Commit metadata is O(changed buckets): snapshots serialize the
+    file list as per-bucket content-addressed manifest files, and a
+    commit touching one bucket reuses every other bucket's manifest BY
+    NAME (no rewrite)."""
+    snap0 = table.current()
+    assert snap0.manifests, "snapshots should serialize via manifests"
+    # metadata-only DDL: zero dirty buckets — every manifest reused
+    table.evolve_schema(add_columns=[("m_extra", "int")])
+    snap1 = table.current()
+    assert snap1.manifests == snap0.manifests
+    # CoW commit emptying bucket 0: only bucket 0's manifest changes
+    out = table.commit(epoch=77, replaced_buckets=[0], new_files=[],
+                       bucket_max_lsn={0: 10**9})
+    assert out is not None
+    snap2 = table.current()
+    assert "0" not in snap2.manifests  # bucket emptied → no manifest
+    for b, name in snap2.manifests.items():
+        assert name == snap1.manifests[b]  # untouched buckets reused
+    # resolved file list reflects the change; remaining buckets still read
+    assert all(f["bucket"] != 0 for f in snap2.files)
+    n = table.read(spark).count()
+    assert 0 < n < 500  # bucket 0's rows gone, the rest intact
+
+
+def test_manifest_gc_and_time_travel(spark, table, tmpdir_clean):
+    """Orphaned manifests (expired history) are GC'd; manifests still
+    referenced by retained snapshots survive and time travel works."""
+    from e_commerce_batch_etl_pipeline_spark.tables.maintenance import (
+        expire_snapshots,
+        remove_orphans,
+    )
+
+    n0 = table.read(spark).count()
+    for i in range(3):
+        table.evolve_schema(add_columns=[(f"g{i}", "int")])
+    table.commit(epoch=88, replaced_buckets=[1], new_files=[],
+                 bucket_max_lsn={1: 10**9})
+    v_final = table.current().version
+    expire_snapshots(table, keep_last=1)
+    removed = remove_orphans(table, min_age_sec=0.0)
+    # current snapshot still loads and reads
+    snap = table.current()
+    assert snap.version == v_final
+    assert table.read(spark).count() < n0  # bucket 1 emptied
+    # every referenced manifest survived GC
+    md = os.path.join(table.root, "metadata")
+    for name in snap.manifests.values():
+        assert os.path.exists(os.path.join(md, name)), name
+    # at least the emptied bucket's pre-commit manifest became orphaned
+    assert any(r.startswith("metadata/manifest-") for r in removed), removed
