@@ -151,10 +151,12 @@ def run_replay(spark, input_root: str, work_root: str,
     """Bootstrap + replay; returns sustained events/sec (replay loop only,
     bootstrap excluded per SURVEY.md §7.4 methodology).
 
-    Measures the steady-state ingest path: quarantine ROW persistence is
-    off (it is an optional audit costing an extra WAL scan + small-file
-    write per epoch — at 8+ cores that job is the scaling bottleneck);
-    conflict COUNTS are still produced by the staging job's observe."""
+    Quarantine ROW persistence (audit) is ON — the production default:
+    since round 3 the audit lane rides the SAME staging job (validity is
+    a flag column; invalid rows ride the one scan/shuffle/write tagged
+    _q=1), measured at parity with audit-off (466k vs 467k ev/s,
+    local[16] MOR — the round-1 separate audit job cost 32% at 8
+    cores)."""
     from e_commerce_batch_etl_pipeline_spark.sources.wal import WalSource
     from e_commerce_batch_etl_pipeline_spark.streaming.bootstrap import (
         bootstrap_table,
@@ -171,7 +173,6 @@ def run_replay(spark, input_root: str, work_root: str,
         WalSource(os.path.join(input_root, "wal")),
         os.path.join(work_root, "ckpt"),
         merge_mode=merge_mode,
-        audit_quarantine=False,
     )
     eng.run(max_epochs=1)  # warm-up epoch: JIT + code paths, untimed
     t0 = time.time()
@@ -203,7 +204,7 @@ def run_scaling_replay(spark, input_root: str, work_root: str) -> float:
     )
     eng = CdcEngine(
         spark, table, WalSource(os.path.join(input_root, "wal")),
-        os.path.join(work_root, "ckpt"), audit_quarantine=False,
+        os.path.join(work_root, "ckpt"),
         merge_mode="mor",
     )
     eng.run(max_epochs=1)  # warm-up

@@ -48,7 +48,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Observation, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.tokens import recompute_n_tok, validate_envelopes
+from ..functions.tokens import recompute_n_tok
 from ..operators.lww import lww_dedup, lww_dedup_salted
 from ..operators.merge import merge_upsert
 from ..sources.wal import WalSource
@@ -129,6 +129,7 @@ class CdcEngine:
         strict_dq: bool = False,
         merge_mode: str = "cow",
         mor_compact_files: int | None = 8,
+        stats_max_footer_files: int = 256,
     ):
         """``merge_mode``:
 
@@ -159,6 +160,7 @@ class CdcEngine:
         assert merge_mode in ("cow", "mor")
         self.merge_mode = merge_mode
         self.mor_compact_files = mor_compact_files
+        self.stats_max_footer_files = stats_max_footer_files
         os.makedirs(checkpoint_dir, exist_ok=True)
         os.makedirs(os.path.join(checkpoint_dir, "lineage"), exist_ok=True)
         os.makedirs(os.path.join(checkpoint_dir, "quarantine"), exist_ok=True)
@@ -182,6 +184,50 @@ class CdcEngine:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._ckpt_path)
+
+    # ---------- per-bucket stats ----------
+
+    def _bucket_stats(self, valid_dir: str, snap) -> dict[int, dict]:
+        """Per-bucket (rows, max_lsn) for the staged change-set.
+
+        Two paths, switched on file count so driver work never scales
+        with the bucket count:
+
+        - ``<= stats_max_footer_files`` staged files: driver-side parquet
+          footer reads (thread-pooled; ~1 ms/file, faster than a job at
+          small B).
+        - above it: a DISTRIBUTED stats job — column-pruned scan of
+          (key, lsn) over the bucket-pure staged files, groupBy the
+          bucket expression, collect B small rows. O(1) driver file
+          opens; the job parallelizes with the cluster, so per-epoch
+          driver time stays flat at 10^4-10^5 buckets (the 10^10 shape).
+          Measured crossover + flatness: see BASELINE.md 'per-bucket
+          stats collection'.
+        """
+        if not os.path.isdir(valid_dir):
+            return {}
+        n_files = sum(
+            1 for fn in os.listdir(valid_dir) if fn.endswith(".parquet")
+        )
+        if n_files == 0:
+            return {}
+        if n_files <= self.stats_max_footer_files:
+            return _footer_stats(valid_dir, order_col="lsn")
+        df = self.spark.read.parquet(valid_dir)
+        rows = (
+            df.groupBy(
+                bucket_expr(snap.key_column, snap.num_buckets).alias("_b")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.max("lsn").alias("max_lsn"),
+            )
+            .collect()
+        )
+        return {
+            int(r["_b"]): {"rows": int(r["rows"]), "max_lsn": int(r["max_lsn"])}
+            for r in rows
+        }
 
     # ---------- the loop ----------
 
@@ -290,45 +336,87 @@ class CdcEngine:
             )
             snap = self.table.current()
 
-        # 4. validate + quarantine. Conflict COUNTS come from an observe on
-        # the staging job (zero extra passes — A4 pattern); row-level
-        # quarantine persistence is an optional audit that costs one extra
-        # WAL scan per epoch.
-        valid, quarantined = validate_envelopes(raw)
-        if self.audit_quarantine:
-            qdir = os.path.join(
-                self.checkpoint_dir, "quarantine", f"epoch-{epoch:05d}"
-            )
-            quarantined.write.mode("overwrite").parquet(qdir)
-        in_obs = Observation()
-        raw = raw.observe(in_obs, F.count(F.lit(1)).alias("rows_in"))
-        valid, _ = validate_envelopes(raw)
-        v_obs = Observation()
-        valid = valid.observe(v_obs, F.count(F.lit(1)).alias("rows_valid"))
+        # 4. validate. Validity is a FLAG COLUMN (``_q``: 0 valid,
+        # 1 quarantined) rather than a DataFrame split: the whole epoch —
+        # valid lane and audit lane — rides ONE linear plan (one WAL
+        # scan, one shuffle, one staging write). A filter-based split
+        # would re-execute the scan per branch (Catalyst does not share
+        # scan subtrees across a union), which made the audit a serial
+        # second job in round 1 and a 16%-overhead extra scan branch in
+        # an intermediate design. Conflict counts come from the same
+        # single observe (A4 pattern — zero extra passes).
+        from ..functions.tokens import envelope_validity
+
+        flagged = raw.withColumn(
+            "_q", (~envelope_validity()).cast("int")
+        )
+        obs_in = Observation()
+        flagged = flagged.observe(
+            obs_in,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum("_q").alias("rows_q"),
+        )
+        if not self.audit_quarantine:
+            # audit lane off: invalid rows are dropped after the counting
+            # observe (CollectMetrics is a pushdown barrier, so the
+            # counts see every row)
+            flagged = flagged.filter(F.col("_q") == 0)
 
         # 5. watermark filter (exactly-once under partial replay):
-        # bucket the key, then drop rows at-or-below the bucket watermark
+        # bucket the key, then drop VALID rows at-or-below the bucket
+        # watermark; audit-lane rows always pass (they are never applied)
         B = snap.num_buckets
         wm = snap.watermark
-        valid = valid.withColumn("_bucket", bucket_expr(snap.key_column, B))
+        flagged = flagged.withColumn(
+            "_bucket", bucket_expr(snap.key_column, B)
+        )
         if wm:
             wm_df = self.spark.createDataFrame(
                 [(int(b), int(l)) for b, l in wm.items()], "_b int, _wm long"
             )
-            valid = (
-                valid.join(F.broadcast(wm_df), valid["_bucket"] == wm_df["_b"], "left")
-                .filter(F.col("_wm").isNull() | (F.col("lsn") > F.col("_wm")))
+            flagged = (
+                flagged.join(
+                    F.broadcast(wm_df), flagged["_bucket"] == wm_df["_b"], "left"
+                )
+                .filter(
+                    (F.col("_q") == 1)
+                    | F.col("_wm").isNull()
+                    | (F.col("lsn") > F.col("_wm"))
+                )
                 .drop("_b", "_wm")
             )
 
-        # 6. LWW dedup — deterministic winner per key by max lsn
+        # 6. LWW dedup — deterministic winner per key by max lsn. The
+        # audit lane passes through untouched: its synthetic group key
+        # ("~q#<lsn>#<row-hash>") makes every quarantined row its own
+        # single-row group (identical duplicate invalid rows collapse —
+        # acceptable for audit data), while valid rows group by the real
+        # key. One shuffle covers both lanes.
+        gk = F.when(
+            F.col("_q") == 1,
+            F.concat_ws(
+                "#", F.lit("~q"), F.col("lsn").cast("string"),
+                F.xxhash64(*[F.col(c) for c in raw.columns]).cast("string"),
+            ),
+        ).otherwise(F.col(snap.key_column).cast("string"))
+        work = flagged.withColumn("_gk", gk)
         dedup = (
-            lww_dedup_salted(valid, key=snap.key_column, num_salts=self.num_salts)
+            lww_dedup_salted(work, key="_gk", num_salts=self.num_salts)
             if self.salted
-            else lww_dedup(valid, key=snap.key_column)
+            else lww_dedup(work, key="_gk")
         )
-        # 7. vectorized n_tok recompute (derive-if-missing/wrong)
-        dedup = recompute_n_tok(dedup).drop("_bucket")
+        # 7. vectorized n_tok recompute (derive-if-missing/wrong) — valid
+        # lane only; audit rows keep their received n_tok verbatim
+        if "n_tok" in dedup.columns:
+            dedup = dedup.withColumn("_n_tok_recv", F.col("n_tok").cast("int"))
+            dedup = recompute_n_tok(dedup).withColumn(
+                "n_tok",
+                F.when(F.col("_q") == 1, F.col("_n_tok_recv"))
+                .otherwise(F.col("n_tok")),
+            ).drop("_n_tok_recv")
+        else:
+            dedup = recompute_n_tok(dedup)
+        dedup = dedup.drop("_bucket", "_gk")
         # Materialize the deduped change-set to a staging parquet rather
         # than .persist(): the change-set is consumed again by the MERGE,
         # and Spark's local-mode MemoryStore serializes badly under many
@@ -344,21 +432,37 @@ class CdcEngine:
         )
         from ..tables.format import bucket_aligned_write
 
+        # partitionBy(_q) splits valid/quarantined into sibling dirs while
+        # KEEPING the partition-index == bucket file naming inside each
+        # (file part-0000i in _q=0 holds exactly bucket i's rows — the
+        # task id is the shuffle partition index; asserted by tests)
         with bucket_aligned_write(self.spark):
             dedup.repartition(B, F.col(snap.key_column)).write.mode(
                 "overwrite"
-            ).parquet(stage_dir)
-        conflicts = int(in_obs.get["rows_in"]) - int(v_obs.get["rows_valid"])
-        dedup = self.spark.read.parquet(stage_dir)
+            ).partitionBy("_q").parquet(stage_dir)
+        conflicts = int(obs_in.get["rows_q"] or 0)
+        if self.audit_quarantine:
+            qsrc = os.path.join(stage_dir, "_q=1")
+            qdir = os.path.join(
+                self.checkpoint_dir, "quarantine", f"epoch-{epoch:05d}"
+            )
+            shutil.rmtree(qdir, ignore_errors=True)
+            if os.path.isdir(qsrc):
+                shutil.move(qsrc, qdir)
+            else:
+                os.makedirs(qdir, exist_ok=True)  # nothing quarantined
+        valid_dir = os.path.join(stage_dir, "_q=0")
         try:
-            # touched buckets + per-bucket max lsn + applied rows: read
-            # driver-side from the bucket-pure staged files' footers
-            stats = _footer_stats(stage_dir, order_col="lsn")
+            # touched buckets + per-bucket max lsn + applied rows — from
+            # parquet footers (small epochs) or a distributed stats job
+            # (large bucket counts); see _bucket_stats
+            stats = self._bucket_stats(valid_dir, snap)
             if not stats:
                 return EpochResult(
                     epoch=epoch, status="empty", conflicts=conflicts,
                     duration_sec=time.time() - t0,
                 )
+            dedup = self.spark.read.parquet(valid_dir)
             touched = sorted(stats)
             bucket_max_lsn = {b: s["max_lsn"] for b, s in stats.items()}
             rows_valid = sum(s["rows"] for s in stats.values())
@@ -387,7 +491,7 @@ class CdcEngine:
             # the fold (measured: a 13M-row inline fold cost one 123 s
             # epoch in the 55M soak; see BASELINE.md).
             if self.merge_mode == "mor":
-                new_files = self.table.adopt_delta_files(stage_dir, touched)
+                new_files = self.table.adopt_delta_files(valid_dir, touched)
                 self.table.commit(
                     epoch=epoch,
                     replaced_buckets=touched,
@@ -408,7 +512,6 @@ class CdcEngine:
                         "bucket": b,
                         "lsn_max": s["max_lsn"],
                         "rows_applied": s["rows"],
-                        "conflicts_epoch": conflicts,
                     }
                     for b, s in sorted(stats.items())
                 ]
@@ -486,7 +589,6 @@ class CdcEngine:
                     "bucket": b,
                     "lsn_max": s["max_lsn"],
                     "rows_applied": s["rows"],
-                    "conflicts_epoch": conflicts,
                 }
                 for b, s in sorted(stats.items())
             ]

@@ -81,7 +81,8 @@ def main() -> None:
             merge_mode="mor",
             mor_compact_files=(None if args.defer_compaction
                                else args.compact_files),
-            audit_quarantine=False,
+            # audit on: since round 3 the quarantine lane rides the same
+            # staging job (measured at parity with audit-off)
         )
         maint = None
         if args.defer_compaction:
