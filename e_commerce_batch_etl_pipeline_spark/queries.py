@@ -567,6 +567,214 @@ FROM r WHERE rn = 1 AND op <> 'D' ORDER BY doc_id
 
 
 # =====================================================================
+# Table-format surface under the DuckDB gate: change feed
+# (tables/format.py:changes_between), incremental materialized rollup
+# (tables/rollup.py) and point lookup (tables/format.py:lookup) — the
+# engine's incremental layer checked the same way as the query corpus.
+# Reference analog for the serving reads: sql/create_tables.sql:110-129.
+# =====================================================================
+
+_TF_ENV_SQL = """
+  SELECT event_id AS lsn,
+         CASE WHEN event_type = 'signup' THEN 'I'
+              WHEN event_type = 'error' THEN 'D'
+              ELSE 'U' END AS op,
+         printf('u%09d', user_id) AS doc_id,
+         event_type AS source
+  FROM events
+"""
+
+# State projections shared by the three oracles. The fixture's payload is
+# FULLY determined by (lsn, source): tokens = slice([t0, t0+1, t0+2], 1,
+# 1 + lsn % 3) with t0 = lsn % 50257 — so comparing (tok0, n_tok, source)
+# in SQL is exactly the engine's full-payload struct comparison (no
+# collision can make the engine see a change the oracle misses).
+# cut = 2 * seg mirrors the Spark fixture's epoch split (epochs 0-1).
+_TF_STATES_SQL = f"""
+env AS ({_TF_ENV_SQL}),
+cut AS (SELECT 2 * ((max(lsn) + 4) // 4) AS c FROM env),
+r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+  FROM env WHERE lsn < (SELECT c FROM cut)
+),
+s1 AS (
+  SELECT doc_id, (1 + lsn % 3)::INT AS n_tok,
+         (lsn % 50257)::INT AS tok0, source
+  FROM r1 WHERE rn = 1 AND op <> 'D'
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+  FROM env
+),
+s2 AS (
+  SELECT doc_id, (1 + lsn % 3)::INT AS n_tok,
+         (lsn % 50257)::INT AS tok0, source
+  FROM r2 WHERE rn = 1 AND op <> 'D'
+)
+"""
+
+_TF_FIXTURE: dict = {}
+
+
+def _table_fixture(spark, sf_dir):
+    """Replay the events-derived WAL into a REAL lake table, once per
+    process per sf_dir (the three table-format queries share it):
+    v1 = committed state after epochs 0-1 (changes with lsn < 2*seg),
+    v2 = final state after all 4 epochs. Deterministic: the same WAL
+    replays to the same logical state regardless of physical layout."""
+    import tempfile
+
+    from .sources.wal import WalSource
+    from .streaming.bootstrap import bootstrap_table
+    from .streaming.microbatch import CdcEngine
+    from .tables.format import LakeTable, TableSchema
+
+    key = os.path.abspath(sf_dir)
+    if key in _TF_FIXTURE:
+        return _TF_FIXTURE[key]
+    env = _events_as_envelopes(spark, sf_dir)
+    n = env.agg(F.max("lsn")).collect()[0][0] + 1
+    seg = max(1, (n + 3) // 4)
+    t0 = F.pmod(F.col("lsn"), F.lit(50257)).cast("int")
+    toks = F.slice(
+        F.array(t0, t0 + F.lit(1), t0 + F.lit(2)),
+        F.lit(1),
+        (F.lit(1) + F.pmod(F.col("lsn"), F.lit(3))).cast("int"),
+    )
+    envelopes = env.select(
+        "lsn",
+        (F.col("lsn") / seg).cast("int").alias("epoch"),
+        "op",
+        F.format_string("u%09d", F.col("doc_id")).alias("doc_id"),
+        F.when(F.col("op") == "D", F.lit(None)).otherwise(toks).alias("tokens"),
+        F.lit(None).cast("int").alias("n_tok"),  # engine recomputes
+        F.when(F.col("op") == "D", F.lit(None))
+        .otherwise(F.col("event_type"))
+        .alias("source"),
+        F.timestamp_seconds(F.col("lsn")).alias("ts"),
+    )
+    root = tempfile.mkdtemp(prefix="tf_fixture_")
+    wal_root = os.path.join(root, "wal")
+    for e in range(4):
+        envelopes.filter(F.col("epoch") == e).write.mode("overwrite").parquet(
+            os.path.join(wal_root, f"epoch-{e:05d}")
+        )
+    schema = TableSchema(
+        fields=[
+            ("doc_id", "string", False),
+            ("tokens", "array<int>", True),
+            ("n_tok", "int", True),
+            ("source", "string", True),
+        ]
+    )
+    empty = spark.createDataFrame([], schema.to_struct())
+    table = bootstrap_table(os.path.join(root, "table"), empty, num_buckets=8)
+    engine = CdcEngine(
+        spark, table, WalSource(wal_root), os.path.join(root, "ckpt")
+    )
+    engine.run(max_epochs=2)  # epochs 0-1 → v1
+    v1 = table.current().version
+    engine.run()  # epochs 2-3 → v2
+    v2 = table.current().version
+    _TF_FIXTURE[key] = {"table": table, "v1": v1, "v2": v2}
+    return _TF_FIXTURE[key]
+
+
+def table_changes_between(spark, sf_dir):
+    """Incremental change feed (Delta-CDF / Iceberg-CDC shape): NET
+    row-level I/U/D between two committed snapshot versions, file-pruned
+    to the buckets whose file sets differ (tables/format.py:changes_between).
+    The oracle recomputes the diff as a full-outer join of the two states
+    expressed in SQL."""
+    fx = _table_fixture(spark, sf_dir)
+    feed = fx["table"].changes_between(spark, fx["v1"], fx["v2"])
+    return feed.select(
+        "_change_op",
+        "doc_id",
+        "n_tok",
+        F.element_at("tokens", 1).alias("tok0"),
+        "source",
+    ).orderBy("doc_id")
+
+
+ORACLE_TABLE_CHANGES = f"""
+WITH {_TF_STATES_SQL},
+d AS (
+  SELECT coalesce(s2.doc_id, s1.doc_id) AS doc_id,
+         CASE WHEN s1.doc_id IS NULL THEN 'I'
+              WHEN s2.doc_id IS NULL THEN 'D'
+              WHEN s1.tok0 <> s2.tok0 OR s1.n_tok <> s2.n_tok
+                   OR s1.source <> s2.source THEN 'U'
+         END AS "_change_op",
+         -- D rows surface the PRE-image; I/U the post-image
+         CASE WHEN s2.doc_id IS NULL THEN s1.n_tok ELSE s2.n_tok END AS n_tok,
+         CASE WHEN s2.doc_id IS NULL THEN s1.tok0 ELSE s2.tok0 END AS tok0,
+         CASE WHEN s2.doc_id IS NULL THEN s1.source ELSE s2.source END AS source
+  FROM s1 FULL OUTER JOIN s2 ON s1.doc_id = s2.doc_id
+)
+SELECT "_change_op", doc_id, n_tok, tok0, source
+FROM d WHERE "_change_op" IS NOT NULL ORDER BY doc_id
+"""
+
+
+def table_incremental_rollup(spark, sf_dir):
+    """Incremental materialized rollup (tables/rollup.py): the per-source
+    (count, sum(n_tok)) aggregate maintained v1→v2 from the change feed
+    ALONE (I adds, D retracts, U handles group moves) — cost O(changes),
+    never O(table). The oracle recomputes the same aggregate from the
+    final state, so any broken retraction algebra hash-mismatches."""
+    from .tables.rollup import incremental_rollup
+
+    fx = _table_fixture(spark, sf_dir)
+    table = fx["table"]
+    state_v1 = (
+        table.read(spark, snapshot=table.snapshot_at(fx["v1"]))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_tok").cast("long").alias("total"),
+        )
+    )
+    out = incremental_rollup(
+        table, spark, fx["v1"], fx["v2"], state_v1, "source", "n_tok"
+    )
+    return out.select("source", "n", "total").orderBy("source")
+
+
+ORACLE_TABLE_ROLLUP = f"""
+WITH {_TF_STATES_SQL}
+SELECT source, count(*)::BIGINT AS n, sum(n_tok)::BIGINT AS total
+FROM s2 GROUP BY source ORDER BY source
+"""
+
+_TF_LOOKUP_KEYS = [f"u{i:09d}" for i in range(25)]
+
+
+def table_point_lookup(spark, sf_dir):
+    """Point lookup (tables/format.py:lookup — the serving-read path):
+    scan ONLY the buckets the keys hash to (murmur3 bucket route + In
+    pushdown). Oracle: plain WHERE doc_id IN (...) over the final state."""
+    fx = _table_fixture(spark, sf_dir)
+    table = fx["table"]
+    rows = table.lookup(spark, _TF_LOOKUP_KEYS)
+    return rows.select(
+        "doc_id",
+        "n_tok",
+        F.element_at("tokens", 1).alias("tok0"),
+        "source",
+    ).orderBy("doc_id")
+
+
+ORACLE_TABLE_LOOKUP = f"""
+WITH {_TF_STATES_SQL}
+SELECT doc_id, n_tok, tok0, source
+FROM s2
+WHERE doc_id IN ({", ".join(repr(k) for k in _TF_LOOKUP_KEYS)})
+ORDER BY doc_id
+"""
+
+
+# =====================================================================
 # Window / sessionization / streaming-shaped aggregation (§2.7, §2.10 —
 # absent in the reference, required by the engine's test surface)
 # =====================================================================
@@ -670,6 +878,9 @@ QUERIES = {
     "cdc_lww_latest": cdc_lww_latest,
     "cdc_merge_upsert": cdc_merge_upsert,
     "cdc_replay_engine": cdc_replay_engine,
+    "table_changes_between": table_changes_between,
+    "table_incremental_rollup": table_incremental_rollup,
+    "table_point_lookup": table_point_lookup,
     "window_running_sum": window_running_sum,
     "sessionize": sessionize,
     "tumbling_window_agg": tumbling_window_agg,
@@ -690,6 +901,9 @@ ORACLES = {
     "cdc_lww_latest": ORACLE_CDC_LWW,
     "cdc_merge_upsert": ORACLE_CDC_MERGE,
     "cdc_replay_engine": ORACLE_CDC_REPLAY,
+    "table_changes_between": ORACLE_TABLE_CHANGES,
+    "table_incremental_rollup": ORACLE_TABLE_ROLLUP,
+    "table_point_lookup": ORACLE_TABLE_LOOKUP,
     "window_running_sum": ORACLE_RUNNING_SUM,
     "sessionize": ORACLE_SESSIONIZE,
     "tumbling_window_agg": ORACLE_TUMBLING,
