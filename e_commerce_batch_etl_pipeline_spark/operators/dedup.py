@@ -185,27 +185,46 @@ def neardup_clusters(
 def simhash(df: DataFrame, text_col: str = "text", key: str = "doc_id",
             bits: int = 16) -> DataFrame:
     """SimHash over distinct words: bit b set iff sum over words of
-    (word_hash bit b ? +1 : -1) > 0."""
-    spark = df.sparkSession
-    bits_df = spark.range(bits).select(F.col("id").cast("int").alias("bit"))
-    w = df.select(
-        F.col(key), F.explode(words_expr(F.col(text_col))).alias("word")
-    ).withColumn("h", md5int(F.col("word")))
-    per_bit = (
-        w.crossJoin(F.broadcast(bits_df))
-        .groupBy(key, "bit")
-        .agg(
-            F.sum(
-                F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)
-            ).alias("s")
+    (word_hash bit b ? +1 : -1) > 0.
+
+    MAP-ONLY: word hashes and all ``bits`` bit-votes are computed per row
+    with array lambdas (``transform`` + one ``aggregate`` per bit) — no
+    explode, no crossJoin, no shuffle at all. The previous formulation
+    exploded words × crossJoined 16 bit rows, shuffling N_words × bits
+    rows into a two-level aggregate (16× inflation at corpus scale);
+    this one scans and emits exactly N_docs rows. Docs with no words
+    (null/empty text) are excluded, matching the explode semantics the
+    oracle encodes.
+    """
+    # NOTE: must be a 1-arg lambda — F.transform hands a 2-arg callable
+    # (element, index), and md5int's optional ``salt`` param would
+    # silently receive the array index
+    hashes = F.transform(words_expr(F.col(text_col)), lambda w: md5int(w))
+    rows = df.select(F.col(key), hashes.alias("_hs")).filter(
+        F.size("_hs") > 0
+    )
+    # closure factory, NOT a default-arg lambda: higher-order functions
+    # dispatch on the callable's arity, so `lambda acc, h, b=b` reads as
+    # 3-ary and b silently receives a lambda-variable Column
+    def _vote(b: int):
+        mask = F.lit(1 << b)
+
+        def merge(acc, h):
+            # (h & (1<<b)) != 0 — mask test instead of shiftright (the
+            # builtin rejects lambda-variable Columns as its shift count)
+            return acc + F.when(
+                h.bitwiseAND(mask) != 0, F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return merge
+
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        s_b = F.aggregate(F.col("_hs"), F.lit(0), _vote(b))
+        sig = sig + F.when(s_b > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    )
-    return per_bit.groupBy(key).agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-            .otherwise(F.lit(0))
-        ).alias("simhash")
-    )
+    return rows.select(F.col(key), sig.alias("simhash"))
 
 
 def jaccard_nearest(df: DataFrame, text_col: str = "text",
