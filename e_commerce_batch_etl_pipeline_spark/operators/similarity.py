@@ -115,21 +115,54 @@ def hyperplane_signature(df: DataFrame, id_col: str = "vec_id",
     )
 
 
+def probe_masks(planes: int, radius: int) -> list[int]:
+    """All XOR masks of popcount <= radius over ``planes`` bits (incl. 0:
+    the exact bucket). sum_{r<=radius} C(planes, r) masks."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
 def ann_lsh_topk(df: DataFrame, queries: DataFrame, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  qid_col: str = "query_id", planes: int = 8,
-                 dim: int | None = None) -> DataFrame:
+                 dim: int | None = None,
+                 hamming_radius: int = 0) -> DataFrame:
     """Approximate top-k: exact cosine only within the query's LSH bucket.
 
     The bucket join replaces the cross join — at 10^9 vectors with b
     bits, candidate sets shrink ~2^-b. Recall measured in tests vs the
     brute-force baseline.
+
+    ``hamming_radius`` enables MULTI-PROBE: each query additionally
+    probes every bucket within that Hamming distance of its own (radius
+    1 ⇒ planes+1 buckets). The query side explodes over the probe masks
+    — the CORPUS side is untouched (still one signature per vector, so
+    no duplicate candidates) — trading sum C(planes, r) × the per-bucket
+    candidate cost for recall; measured as data by ann_recall_multiprobe.
     """
     sig = hyperplane_signature(df, id_col, vec_col, planes, dim=dim)
     qsig = hyperplane_signature(
         queries.withColumnRenamed(qid_col, id_col), id_col, vec_col, planes,
         dim=dim,
     ).withColumnRenamed(id_col, qid_col)
+    if hamming_radius > 0:
+        masks = probe_masks(planes, hamming_radius)
+        qsig = qsig.select(
+            qid_col,
+            F.explode(
+                F.array(*[
+                    F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks
+                ])
+            ).alias("bucket"),
+        )
     corpus = df.select(
         F.col(id_col).alias("nn_id"), quantize(F.col(vec_col)).alias("qv")
     ).withColumn("n2", norm2_q(F.col("qv"))).join(
@@ -154,9 +187,12 @@ def ann_lsh_topk(df: DataFrame, queries: DataFrame, k: int = 5,
 
 def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
                vec_col: str = "embedding",
-               cent_id: str = "centroid_id") -> DataFrame:
-    """IVF coarse quantizer: assign each vector to its nearest centroid
-    (exact int cosine; deterministic argmax with id tiebreak).
+               cent_id: str = "centroid_id",
+               n_assign: int = 1) -> DataFrame:
+    """IVF coarse quantizer: assign each vector to its ``n_assign``
+    nearest centroids (exact int cosine; deterministic ranking with id
+    tiebreak). n_assign=1 is corpus assignment; n_assign>1 is the QUERY
+    side of nprobe>1 search.
 
     Centroids are a small table — broadcast; assignment is a map-side
     loop over the corpus (no shuffle of the corpus). At 10^9 vectors this
@@ -176,7 +212,7 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
     w = W.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col(cent_id).asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= n_assign)
         .select(id_col, cent_id)
     )
 
@@ -184,13 +220,18 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
 def ann_ivf_topk(df: DataFrame, queries: DataFrame, centroids: DataFrame,
                  k: int = 5, id_col: str = "vec_id",
                  vec_col: str = "embedding",
-                 qid_col: str = "query_id") -> DataFrame:
-    """IVF ANN: exact cosine only within the query's centroid cell
-    (nprobe=1). The cell join replaces the cross join — the IVF
-    counterpart of ann_lsh_topk; recall/cost trades on centroid count."""
+                 qid_col: str = "query_id",
+                 nprobe: int = 1) -> DataFrame:
+    """IVF ANN: exact cosine only within the query's ``nprobe`` nearest
+    centroid cells. The cell join replaces the cross join — the IVF
+    counterpart of ann_lsh_topk; recall/cost trades on centroid count
+    and nprobe (corpus vectors live in exactly one cell, so probing more
+    query cells never duplicates a candidate). Recall per nprobe is
+    measured as data by ann_recall_multiprobe."""
     assign_c = ivf_assign(df, centroids, id_col, vec_col)
     assign_q = ivf_assign(
-        queries.withColumnRenamed(qid_col, id_col), centroids, id_col, vec_col
+        queries.withColumnRenamed(qid_col, id_col), centroids, id_col,
+        vec_col, n_assign=nprobe,
     ).withColumnRenamed(id_col, qid_col)
     corpus = df.select(
         F.col(id_col).alias("nn_id"), quantize(F.col(vec_col)).alias("qv")

@@ -2051,13 +2051,149 @@ LEFT JOIN ivf i ON i.query_id = t.query_id AND i.nn_id = t.nn_id
 GROUP BY 1 ORDER BY t.query_id
 """
 
+def ann_recall_multiprobe(spark, sf_dir):
+    """Multi-probe ANN recall as data: per query, how many of the
+    brute-force top-5 the MULTI-PROBE searches recover — LSH probing all
+    buckets within Hamming distance 1 of the query's signature
+    (operators/similarity.py:ann_lsh_topk hamming_radius=1) and IVF
+    probing the 2 nearest centroid cells (ann_ivf_topk nprobe=2).
+    Compare with ann_recall_at_k (radius 0 / nprobe 1) to read the
+    recall/cost trade directly from CI data."""
+    from .operators.similarity import ann_ivf_topk, ann_lsh_topk, cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    truth = cosine_topk(e, q, k=5).select("query_id", "nn_id")
+    lsh = ann_lsh_topk(
+        e, q, k=5, planes=8, dim=64, hamming_radius=1
+    ).select("query_id", "nn_id", F.lit(1).alias("in_lsh"))
+    ivf = ann_ivf_topk(e, q, cents, k=5, nprobe=2).select(
+        "query_id", "nn_id", F.lit(1).alias("in_ivf")
+    )
+    return (
+        truth.join(lsh, ["query_id", "nn_id"], "left")
+        .join(ivf, ["query_id", "nn_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce(F.col("in_lsh"), F.lit(0))).alias("hits_lsh_r1"),
+            F.sum(F.coalesce(F.col("in_ivf"), F.lit(0))).alias("hits_ivf_p2"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE_ANN_MULTIPROBE = f"""
+WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x*10000 + 0.5)::BIGINT) AS qv
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, qv,
+         list_sum(list_transform(qv, x -> x * x))::BIGINT AS n2
+  FROM qz
+),
+truth AS (
+  SELECT query_id, nn_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {_ANN_RECALL_SCORE} DESC, c.vec_id ASC) AS rank
+    FROM n c CROSS JOIN n q
+    WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
+  ) WHERE rank <= 5
+),
+v AS (
+  SELECT vec_id, i::INT AS i,
+         floor(embedding[i::INT + 1] * 10000 + 0.5)::BIGINT AS x
+  FROM embeddings CROSS JOIN range(64) r(i)
+),
+wt AS (
+  SELECT p::INT AS plane, i::INT AS i,
+         CASE WHEN ('0x'||substr(md5(p::INT::VARCHAR || ':' || i::INT::VARCHAR),1,15))::BIGINT & 1 = 1
+              THEN 1 ELSE -1 END AS w
+  FROM range(8) a(p) CROSS JOIN range(64) b(i)
+),
+sig AS (
+  SELECT vec_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << plane) ELSE 0 END)::BIGINT AS bucket
+  FROM (SELECT vec_id, plane, sum(w * x) AS s
+        FROM v JOIN wt USING (i) GROUP BY 1, 2)
+  GROUP BY 1
+),
+-- multi-probe radius 1: candidate buckets within Hamming distance 1
+lsh AS (
+  SELECT query_id, nn_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {_ANN_RECALL_SCORE} DESC, c.vec_id ASC) AS rank
+    FROM (SELECT n.*, s.bucket FROM n JOIN sig s USING (vec_id)) c
+    JOIN (SELECT n.*, s.bucket FROM n JOIN sig s USING (vec_id)
+          WHERE n.vec_id % 50 = 0) q
+      ON bit_count(xor(c.bucket, q.bucket)) <= 1
+    WHERE c.vec_id <> q.vec_id
+  ) WHERE rank <= 5
+),
+cents AS (SELECT vec_id AS centroid_id, qv AS cv, n2 AS cn2 FROM n
+          WHERE vec_id % 25 = 0),
+assign_c AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT a.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY (list_sum(list_transform(list_zip(a.qv, c.cv), p -> p[1]*p[2]))::BIGINT
+                       / sqrt(a.n2::DOUBLE * c.cn2::DOUBLE)) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM n a CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+-- nprobe=2: queries search their TWO nearest cells
+assign_q AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT a.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY (list_sum(list_transform(list_zip(a.qv, c.cv), p -> p[1]*p[2]))::BIGINT
+                       / sqrt(a.n2::DOUBLE * c.cn2::DOUBLE)) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM n a CROSS JOIN cents c
+    WHERE a.vec_id % 50 = 0
+  ) WHERE rn <= 2
+),
+ivf AS (
+  SELECT query_id, nn_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {_ANN_RECALL_SCORE} DESC, c.vec_id ASC) AS rank
+    FROM (SELECT n.*, a.centroid_id FROM n JOIN assign_c a USING (vec_id)) c
+    JOIN (SELECT n.*, a.centroid_id FROM n JOIN assign_q a USING (vec_id)) q
+      USING (centroid_id)
+    WHERE c.vec_id <> q.vec_id
+  ) WHERE rank <= 5
+)
+SELECT t.query_id AS query_id,
+       count(*) AS k,
+       sum(CASE WHEN l.nn_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS hits_lsh_r1,
+       sum(CASE WHEN i.nn_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS hits_ivf_p2
+FROM truth t
+LEFT JOIN lsh l ON l.query_id = t.query_id AND l.nn_id = t.nn_id
+LEFT JOIN ivf i ON i.query_id = t.query_id AND i.nn_id = t.nn_id
+GROUP BY 1 ORDER BY t.query_id
+"""
+
+
 QUERIES.update({
     "dedup_lsh_jaccard_verify": dedup_lsh_jaccard_verify,
     "ann_recall_at_k": ann_recall_at_k,
+    "ann_recall_multiprobe": ann_recall_multiprobe,
 })
 ORACLES.update({
     "dedup_lsh_jaccard_verify": ORACLE_LSH_JACCARD_VERIFY,
     "ann_recall_at_k": ORACLE_ANN_RECALL,
+    "ann_recall_multiprobe": ORACLE_ANN_MULTIPROBE,
 })
 
 
