@@ -130,6 +130,7 @@ class CdcEngine:
         merge_mode: str = "cow",
         mor_compact_files: int | None = 8,
         stats_max_footer_files: int = 256,
+        commit_retries: int = 5,
     ):
         """``merge_mode``:
 
@@ -161,6 +162,7 @@ class CdcEngine:
         self.merge_mode = merge_mode
         self.mor_compact_files = mor_compact_files
         self.stats_max_footer_files = stats_max_footer_files
+        self.commit_retries = commit_retries
         os.makedirs(checkpoint_dir, exist_ok=True)
         os.makedirs(os.path.join(checkpoint_dir, "lineage"), exist_ok=True)
         os.makedirs(os.path.join(checkpoint_dir, "quarantine"), exist_ok=True)
@@ -298,7 +300,26 @@ class CdcEngine:
         Also the ``foreachBatch`` body for the Structured Streaming
         front-end (streaming/structured.py) — the streaming batch id is
         the epoch, and the fence set makes redelivery a no-op.
+
+        Retries the WHOLE epoch on ConcurrentCommitError (bounded by
+        ``commit_retries``): a retry re-reads the table state, re-merges
+        and re-commits — the optimistic-concurrency loop that lets two
+        engine processes ingest into one table (each loser of a CoW CAS
+        race re-derives its merge from the winner's snapshot; an epoch
+        the other writer already committed resolves to "skipped" at the
+        fence check).
         """
+        from ..tables.format import ConcurrentCommitError
+
+        last: Exception | None = None
+        for _ in range(self.commit_retries + 1):
+            try:
+                return self._apply_changes_once(raw, epoch)
+            except ConcurrentCommitError as exc:
+                last = exc
+        raise last
+
+    def _apply_changes_once(self, raw, epoch: int) -> EpochResult:
         t0 = time.time()
         snap = self.table.current()
 
@@ -502,10 +523,17 @@ class CdcEngine:
                     delta=True,
                 )
                 if self.mor_compact_files is not None:
+                    from ..tables.format import ConcurrentCommitError
                     from ..tables.maintenance import compact
 
-                    compact(self.table, self.spark,
-                            max_files_per_bucket=self.mor_compact_files)
+                    try:
+                        compact(self.table, self.spark,
+                                max_files_per_bucket=self.mor_compact_files)
+                    except ConcurrentCommitError:
+                        # another writer/compactor folded the same inputs;
+                        # the epoch itself IS committed — don't let the
+                        # epoch retry loop re-run it over a lost fold
+                        pass
                 lineage = [
                     {
                         "epoch": epoch,
@@ -529,8 +557,14 @@ class CdcEngine:
                 )
 
             # 8b. copy-on-write MERGE into touched buckets only
-            # (file-pruned base read)
-            base = self.table.read(self.spark, buckets=touched)
+            # (file-pruned base read). PINNED to the epoch's snapshot and
+            # CAS'd on its version at commit: the CoW files are a REWRITE
+            # of prior bucket state, so a concurrent writer's commit
+            # landing between this read and our publish would be lost
+            # without the guard (MOR needs neither — delta files carry
+            # only the epoch's changes and read-time LWW orders by lsn).
+            base = self.table.read(self.spark, buckets=touched,
+                                   snapshot=snap)
             payload = [c for c in dedup.columns if c != "_bucket"]
             merged = merge_upsert(
                 base,
@@ -574,7 +608,9 @@ class CdcEngine:
                     f"DQ FAIL epoch {epoch}: null keys reached merge — aborting"
                 )
 
-            # 10. atomic publish + lineage + metrics
+            # 10. atomic publish + lineage + metrics (CAS on the snapshot
+            # the merge read — a loser raises ConcurrentCommitError and
+            # apply_changes_df re-runs the epoch against the new state)
             self.table.commit(
                 epoch=epoch,
                 replaced_buckets=touched,
@@ -582,6 +618,7 @@ class CdcEngine:
                 bucket_max_lsn=bucket_max_lsn,
                 rows_applied=rows_valid,
                 props={"epoch": epoch},
+                expected_version=snap.version,
             )
             lineage = [
                 {

@@ -389,3 +389,81 @@ def test_changes_between_spans_shrink_rebucket(spark, tmpdir_clean):
             expect[k] = "U"
     got = {r["doc_id"]: r["_change_op"] for r in feed.collect()}
     assert got == expect
+
+
+def test_dual_writer_processes_exactly_once(spark, tmpdir_clean):
+    """Two engine PROCESSES replaying the same WAL into one table, each
+    with its own checkpoint: the commit lock + (epoch, bucket) fences +
+    the CoW CAS/retry loop must yield each epoch applied exactly once
+    and the sequential-replay final state — no lost updates, no
+    double-applies."""
+    import subprocess
+    import sys
+
+    from e_commerce_batch_etl_pipeline_spark.sources.datagen import write_wal
+    from e_commerce_batch_etl_pipeline_spark.sources.wal import WalSource
+    from e_commerce_batch_etl_pipeline_spark.streaming.bootstrap import (
+        bootstrap_table,
+    )
+    from e_commerce_batch_etl_pipeline_spark.streaming.microbatch import (
+        CdcEngine,
+    )
+    from e_commerce_batch_etl_pipeline_spark.tables.maintenance import verify
+
+    base = generate_base_docs(spark, 400, seed=77, max_len=8)
+    table = bootstrap_table(
+        os.path.join(tmpdir_clean, "t"), base, num_buckets=4
+    )
+    wal_root = os.path.join(tmpdir_clean, "wal")
+    n_epochs = 4
+    write_wal(spark, wal_root, n_epochs, 350, 400, seed=77, max_len=8)
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    peer_script = f"""
+import sys
+sys.path.insert(0, {repo_root!r})
+from e_commerce_batch_etl_pipeline_spark.session import build_session
+from e_commerce_batch_etl_pipeline_spark.sources.wal import WalSource
+from e_commerce_batch_etl_pipeline_spark.streaming.microbatch import CdcEngine
+from e_commerce_batch_etl_pipeline_spark.tables.format import LakeTable
+spark = build_session(app_name="peer-writer", master="local[4]",
+                      shuffle_partitions=4)
+eng = CdcEngine(spark, LakeTable({table.root!r}),
+                WalSource({wal_root!r}), {os.path.join(tmpdir_clean, "ckpt_b")!r})
+res = eng.run()
+print("PEER", [(r.epoch, r.status) for r in res])
+spark.stop()
+"""
+    peer = subprocess.Popen(
+        [sys.executable, "-c", peer_script],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    try:
+        eng = CdcEngine(spark, table, WalSource(wal_root),
+                        os.path.join(tmpdir_clean, "ckpt_a"))
+        res_a = eng.run()
+    finally:
+        out, _ = peer.communicate(timeout=240)
+    assert peer.returncode == 0, out
+    assert len(res_a) == n_epochs
+
+    # every epoch fenced exactly once in the final snapshot lineage;
+    # final state equals the single-writer sequential replay
+    snap = table.current()
+    for e in range(n_epochs):
+        assert snap.epoch_fenced(e), e
+    rep = verify(table, spark)
+    assert rep["ok"], rep
+    from .oracle import assert_states_equal, replay
+
+    base_rows = [r.asDict() for r in base.collect()]
+    env_rows = []
+    wal = WalSource(wal_root)
+    for e in wal.epochs():
+        env_rows += [r.asDict() for r in wal.read_epoch(spark, e).collect()]
+    expected = replay(base_rows, env_rows, ["n_tok", "source"])
+    actual = {
+        r["doc_id"]: {"n_tok": r["n_tok"], "source": r["source"]}
+        for r in table.read(spark).collect()
+    }
+    assert_states_equal(expected, actual)
