@@ -83,13 +83,17 @@ REPLAY_BUCKETS = 64
 # they sample the same co-tenant noise regime, and efficiency is
 # computed PER ATTEMPT (pairing the best epoch rate of each level from
 # the same minute) — mixing best-of-level across minutes systematically
-# favors whichever level caught a quiet minute. The scaling job runs in
+# favors whichever level caught a quiet minute. The HEADLINE efficiency
+# is the MEDIAN of the attempts (5 shorter attempts rather than 2-3
+# long ones: co-tenant spikes contaminate whole minutes, and a median
+# over 5 tolerates two bad attempts where a median of 3 tolerates one);
+# the best attempt is reported separately, labeled as such. The scaling job runs in
 # merge-on-read mode — the steady-state mode for the 10^10 shape
 # (O(changes) writes; CoW's touched-bucket rewrite amortizes epoch size
 # instead of parallelism, so it measures table growth as much as cores).
 SCALING_CHANGES = 4_000_000
-SCALING_EPOCHS = 4
-SCALING_ATTEMPTS = 2
+SCALING_EPOCHS = 3
+SCALING_ATTEMPTS = 5
 
 
 def build(master: str, shuffle: int):
@@ -290,19 +294,26 @@ def main() -> None:
                      "high_events_per_sec": round(pair[SCALING_N * 4], 1),
                      "efficiency": round(eff_i, 3)}
                 )
-            best_at = max(attempts, key=lambda a: a["efficiency"])
+            # HEADLINE = MEDIAN attempt (round-2 verdict: a best-of
+            # headline overstated the artifact — the median of >=3
+            # interleaved pairs is reproducible from `attempts` alone);
+            # the best attempt is reported alongside, labeled as such
+            by_eff = sorted(attempts, key=lambda a: a["efficiency"])
+            med_at = by_eff[len(by_eff) // 2]
             out["scaling"] = {
                 "low": {"master": f"local[{SCALING_N}]",
-                        "events_per_sec": best_at["low_events_per_sec"]},
+                        "events_per_sec": med_at["low_events_per_sec"]},
                 "high": {"master": f"local[{SCALING_N * 4}]",
-                         "events_per_sec": best_at["high_events_per_sec"]},
+                         "events_per_sec": med_at["high_events_per_sec"]},
                 "cores_ratio": 4,
                 "events_per_epoch": SCALING_CHANGES,
                 "merge_mode": "mor",
-                "efficiency": best_at["efficiency"],
+                "efficiency": med_at["efficiency"],
+                "efficiency_protocol": "median of interleaved paired attempts",
+                "efficiency_best": by_eff[-1]["efficiency"],
                 "attempts": attempts,
                 "efficiency_vs_hw_ceiling": round(
-                    best_at["efficiency"]
+                    med_at["efficiency"]
                     / max(out["hw_calibration"]["eff"], 1e-9), 3),
             }
     finally:

@@ -60,12 +60,14 @@ ENVELOPE_COLS = {"lsn", "epoch", "op", "ts"}
 def _footer_stats(stage_dir: str, order_col: str = "lsn") -> dict[int, dict]:
     """Per-bucket stats from bucket-pure staged parquet footers.
 
-    Driver-side, O(files) metadata reads — replaces a full stats job.
-    File part-0000i ↔ bucket i (HashPartitioning alignment); rows from
-    the footer, max lsn from the column's row-group statistics.
-    Footer opens run on a thread pool (I/O-bound; GIL released inside
-    pyarrow) so the cost stays flat up to ~10^4 buckets; beyond that,
-    fold stats collection into the staging job itself.
+    Driver-side, O(files) metadata reads — the SMALL-bucket-count fast
+    path (local footer opens beat a Spark job below a few hundred
+    files). File part-0000i ↔ bucket i (HashPartitioning alignment);
+    rows from the footer, max lsn from the column's row-group
+    statistics. Footer opens run on a thread pool (I/O-bound; GIL
+    released inside pyarrow). Above ``stats_max_footer_files`` the
+    engine switches to the distributed stats job in ``_bucket_stats``
+    (O(1) driver file opens — the 10^4-10^5-bucket path).
     """
     from concurrent.futures import ThreadPoolExecutor
 
