@@ -33,12 +33,16 @@ def main() -> None:
                     help="production shape: ingest never compacts "
                          "inline; a background maintain subprocess folds "
                          "deltas concurrently (own Spark session)")
+    ap.add_argument("--buckets", type=int, default=256,
+                    help="bucket count (1024+ exercises the distributed "
+                         "per-bucket stats job instead of driver footer "
+                         "reads)")
     args = ap.parse_args()
 
     base_n = 5_000_000 // args.scale_div
     per_epoch = 5_000_000 // args.scale_div
     epochs = 11
-    buckets = 256
+    buckets = args.buckets
 
     spark = build_session(master=f"local[{args.cores}]",
                           shuffle_partitions=args.cores)
