@@ -435,3 +435,55 @@ def test_quarantine_rides_staging_job(spark, tmpdir_clean):
     payload = ["tokens", "n_tok", "source"]
     expected = _oracle_state(base, wal, spark, payload)
     assert_states_equal(expected, _collect_state(table.read(spark), payload))
+
+
+def test_changes_between_spans_schema_evolution(spark, tmpdir_clean):
+    """A change-feed range containing an additive schema evolution is
+    reconciled to the LATER snapshot's schema: pre-evolution rows read
+    the new column as NULL, an update that (also) populates it surfaces
+    as U, and include_old pre-images carry NULL for the new column."""
+    table, wal, base = _setup(spark, tmpdir_clean, evolve_from_epoch=1)
+    eng = CdcEngine(spark, table, wal, os.path.join(tmpdir_clean, "ckpt"))
+    eng.run(max_epochs=1)  # epoch 0: pre-evolution
+    v1 = table.current().version
+    eng.run(max_epochs=1)  # epoch 1: envelopes add `lang` -> DDL + data
+    v2 = table.current().version
+
+    feed = table.changes_between(spark, v1, v2, include_old=True)
+    assert "lang" in feed.columns and "_old_lang" in feed.columns
+    rows = feed.collect()
+    assert rows
+    ops = {r["_change_op"] for r in rows}
+    assert "U" in ops  # updates across the evolution surface
+    # every U pre-image has NULL lang (the column did not exist at v1)
+    for r in rows:
+        if r["_change_op"] == "U":
+            assert r["_old_lang"] is None
+    # some post-evolution row actually carries a lang value
+    assert any(r["lang"] is not None for r in rows
+               if r["_change_op"] in ("I", "U"))
+    # rollup across the evolution range: group by the NEW column — every
+    # pre-image groups under NULL... use source (stable) as group and
+    # n_tok as measure: maintained state equals recompute at v2
+    from e_commerce_batch_etl_pipeline_spark.tables.rollup import (
+        incremental_rollup,
+    )
+
+    state_v1 = (
+        table.read(spark, snapshot=table.snapshot_at(v1))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("n_tok").cast("long").alias("total"))
+    )
+    maintained = incremental_rollup(
+        table, spark, v1, v2, state_v1, "source", "n_tok"
+    )
+    recomputed = (
+        table.read(spark, snapshot=table.snapshot_at(v2))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("n_tok").cast("long").alias("total"))
+    )
+    got = {r["source"]: (r["n"], r["total"]) for r in maintained.collect()}
+    want = {r["source"]: (r["n"], r["total"]) for r in recomputed.collect()}
+    assert got == want
