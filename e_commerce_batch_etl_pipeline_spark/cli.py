@@ -10,6 +10,9 @@ Subcommands:
     datagen    — deterministic base docs + WAL epochs (seeded, distributed)
     bootstrap  — initial snapshot commit of the base table
     replay     — checkpointed epoch loop (resumes automatically)
+    changes    — incremental change feed between two snapshot versions
+    lookup     — bucket-routed point read (serving path, time-travelable)
+    maintain   — compaction / snapshot expiry / orphan GC / rebucket
 """
 
 from __future__ import annotations
@@ -66,6 +69,16 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--to-version", type=int, required=True)
     ch.add_argument("--out", required=True,
                     help="parquet dir for the change feed")
+
+    lk = sub.add_parser("lookup")
+    lk.add_argument("--table", required=True)
+    lk.add_argument("--keys", required=True,
+                    help="comma-separated doc_ids (serving point read: "
+                         "scans only the buckets the keys hash to)")
+    lk.add_argument("--version", type=int, default=None,
+                    help="time-travel to a snapshot version")
+    lk.add_argument("--out", default=None,
+                    help="optional parquet dir; otherwise prints rows")
 
     m = sub.add_parser("maintain")
     m.add_argument("--table", required=True)
@@ -151,6 +164,31 @@ def main(argv: list[str] | None = None) -> int:
             "inserts": counts.get("I", 0), "updates": counts.get("U", 0),
             "deletes": counts.get("D", 0), "out": args.out,
         }))
+    elif args.cmd == "lookup":
+        from .tables.format import LakeTable
+
+        table = LakeTable(args.table)
+        snap = (
+            table.snapshot_at(args.version)
+            if args.version is not None else None
+        )
+        keys = [k for k in args.keys.split(",") if k]
+        rows = table.lookup(spark, keys, snapshot=snap)
+        if args.out:
+            rows.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            print(json.dumps({"keys": len(keys), "found": n,
+                              "out": args.out}))
+        else:
+            found = rows.collect()  # point read: ≤ len(keys) rows
+            print(json.dumps({
+                "keys": len(keys), "found": len(found),
+                "rows": [
+                    {"doc_id": r["doc_id"], "n_tok": r["n_tok"],
+                     "source": r["source"]}
+                    for r in found
+                ],
+            }))
     elif args.cmd == "maintain":
         from .tables.format import LakeTable
         from .tables.maintenance import (

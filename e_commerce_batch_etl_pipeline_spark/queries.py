@@ -950,6 +950,39 @@ FROM documents ORDER BY doc_id
 """
 
 
+def text_token_frequency(spark, sf_dir):
+    """Vocab-frequency heavy hitters over the corpus: top-50 words by
+    document frequency (training-data vocab stats). Scale shape:
+    explode → hash-agg with MAP-SIDE partial combine (one shuffle of
+    ≤ distinct-words rows per mapper, never the token stream) → top-k
+    via TakeOrdered. Deterministic tiebreak on the word itself."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(50)
+    )
+
+
+ORACLE_TOKEN_FREQ = r"""
+SELECT word, count(*)::BIGINT AS n
+FROM (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+  FROM documents
+)
+WHERE word <> ''
+GROUP BY word
+ORDER BY n DESC, word ASC
+LIMIT 50
+"""
+
+
 def text_lang_id(spark, sf_dir):
     """Stopword-majority language ID heuristic; exports the per-language
     stopword counts (exact ints) plus the argmax guess."""
@@ -1267,6 +1300,7 @@ FROM documents ORDER BY doc_id::BIGINT
 
 QUERIES.update({
     "text_metrics": text_metrics,
+    "text_token_frequency": text_token_frequency,
     "text_lang_id": text_lang_id,
     "dedup_exact_stats": dedup_exact_stats,
     "dedup_jaccard_nearest": dedup_jaccard_nearest,
@@ -1281,6 +1315,7 @@ QUERIES.update({
 
 ORACLES.update({
     "text_metrics": ORACLE_TEXT_METRICS,
+    "text_token_frequency": ORACLE_TOKEN_FREQ,
     "text_lang_id": ORACLE_LANG_ID,
     "dedup_exact_stats": ORACLE_DEDUP_EXACT,
     "dedup_jaccard_nearest": ORACLE_JACCARD_NEAREST,

@@ -107,3 +107,56 @@ def test_split_replay_equals_single_replay(spark, rows):
     a = {(r["doc_id"], tuple(r["tokens"] or [])) for r in two_step.collect()}
     b = {(r["doc_id"], tuple(r["tokens"] or [])) for r in one_step.collect()}
     assert a == b
+
+
+# ---------- manifest-layer invariants (pure metadata, no Spark) ----------
+
+_entries = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),      # bucket
+        st.integers(min_value=0, max_value=10**6),  # file id
+    ),
+    min_size=0, max_size=40, unique=True,
+).map(lambda ps: [
+    {"path": f"data/c/f{fid:07d}.parquet", "bucket": b} for b, fid in ps
+])
+
+
+@given(entries=_entries)
+@settings(max_examples=40, deadline=None)
+def test_snapshot_manifest_roundtrip(tmp_path_factory, entries):
+    """Any file set serializes through per-bucket manifests and loads
+    back identical (order-insensitive), via both a fresh process-state
+    load and the manifest cache."""
+    import json
+
+    from e_commerce_batch_etl_pipeline_spark.tables.format import (
+        LakeTable,
+        TableSchema,
+    )
+
+    root = str(tmp_path_factory.mktemp("mf"))
+    schema = TableSchema(fields=[("doc_id", "string", False)])
+    t = LakeTable.create(os.path.join(root, "t"), schema, num_buckets=8)
+    t.commit(epoch=0, replaced_buckets=list(range(8)), new_files=entries,
+             bucket_max_lsn={b: 1 for b in range(8)})
+    snap = t.current()
+    assert sorted(
+        (f["bucket"], f["path"]) for f in snap.files
+    ) == sorted((e["bucket"], e["path"]) for e in entries)
+    # the snapshot JSON itself carries no file list — only manifest names
+    md = os.path.join(t.root, "metadata")
+    raw = json.load(open(os.path.join(
+        md, f"snapshot-{snap.version:08d}.json")))
+    assert "files" not in raw
+    assert set(raw["manifests"]) == {
+        str(e["bucket"]) for e in entries
+    }
+    # a second commit touching bucket 0 only reuses every other manifest
+    t.commit(epoch=1, replaced_buckets=[0], new_files=[],
+             bucket_max_lsn={0: 2})
+    raw2 = json.load(open(os.path.join(
+        md, f"snapshot-{snap.version + 1:08d}.json")))
+    for b, name in raw2["manifests"].items():
+        assert name == raw["manifests"][b]  # bucket 0 dropped, rest reused
+    assert "0" not in raw2["manifests"]
