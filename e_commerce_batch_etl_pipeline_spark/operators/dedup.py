@@ -182,6 +182,111 @@ def neardup_clusters(
     return labels.select(F.col("id").alias(key), F.col("label").alias("cluster_id"))
 
 
+def neardup_clusters_star(
+    nodes: DataFrame, edges: DataFrame, key: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the 10^10-node upgrade of ``neardup_clusters``: converges in
+    O(log^2 n) rounds regardless of component DIAMETER, where min-label
+    propagation needs O(diameter) rounds (a pathological near-dup chain
+    — A≈B≈C≈… with no direct A≈C edge — defeats propagation but not
+    this). Semantics identical: every node labeled with the MIN id of
+    its component.
+
+    Edges are kept canonical (u > v, string order — same total order the
+    propagation variant uses). Per round: large-star rewires each node's
+    LARGER neighbors to the min of its neighborhood; small-star rewires
+    the smaller-or-equal ones. Both are one groupBy + one join over the
+    edge set. Convergence is detected by an (edge-count, xxhash64
+    checksum) fixpoint — one 1-row action per round — and certified
+    afterwards by a star-form check (no node appears on both sides of
+    the edge set), so a checksum collision can never return a wrong
+    labeling.
+    """
+    E = (
+        edges.select(
+            F.greatest("id_a", "id_b").alias("u"),
+            F.least("id_a", "id_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sig(df: DataFrame) -> tuple:
+        # bit_xor, not sum: order-independent AND overflow-free under
+        # ANSI mode (sum of xxhash64 longs overflows)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        return (int(row["n"]), int(row["h"] or 0))
+
+    sig = _sig(E)
+    converged = False
+    for _ in range(max_iters):
+        # large-star: from EVERY endpoint's perspective (symmetrized),
+        # connect strictly-larger neighbors to min(N(u) ∪ {u})
+        sym = E.unionByName(
+            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("mn")
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: group by the BIGGER endpoint; connect its smaller
+        # neighbors and itself to the neighborhood min
+        mins2 = large.groupBy("u").agg(F.min("v").alias("mn"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("node"), F.col("mn"))
+            .unionByName(
+                mins2.select(F.col("u").alias("node"), F.col("mn"))
+            )
+            .filter(F.col("node") != F.col("mn"))
+            .select(F.col("node").alias("u"), F.col("mn").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = _sig(small)
+        E = small
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"neardup_clusters_star did not converge in {max_iters} "
+            "rounds — raise max_iters"
+        )
+    # star-form certificate: roots only ever appear as v, leaves as u
+    if E.select("v").intersect(E.select("u")).count() != 0:
+        raise RuntimeError(
+            "neardup_clusters_star: fixpoint is not a star graph "
+            "(checksum collision?) — raise max_iters and retry"
+        )
+    ids = nodes.select(F.col(key).alias("id")).distinct()
+    out = (
+        ids.join(
+            E.select(F.col("u").alias("id"), F.col("v").alias("label")),
+            "id", "left",
+        )
+        .select(
+            F.col("id").alias(key),
+            F.coalesce("label", "id").alias("cluster_id"),
+        )
+    )
+    return out
+
+
 def simhash(df: DataFrame, text_col: str = "text", key: str = "doc_id",
             bits: int = 16) -> DataFrame:
     """SimHash over distinct words: bit b set iff sum over words of

@@ -2301,6 +2301,31 @@ QUERIES["dedup_cluster_assignment"] = dedup_cluster_assignment
 ORACLES["dedup_cluster_assignment"] = ORACLE_CLUSTER_ASSIGNMENT
 
 
+def dedup_cluster_assignment_star(spark, sf_dir):
+    """Same pipeline and labeling as dedup_cluster_assignment, computed
+    with the alternating large-star/small-star algorithm (Kiveris et
+    al.) — O(log^2 n) rounds independent of component diameter, the
+    10^10-node path. Checked against the SAME recursive-CTE fixpoint
+    oracle, so both physical strategies are pinned to one semantics."""
+    from .operators.dedup import (
+        jaccard_verify_candidates,
+        lsh_candidate_pairs,
+        neardup_clusters_star,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(d, k=8, bands=4)
+    verified = jaccard_verify_candidates(d, pairs)
+    edges = verified.filter(
+        10 * F.col("inter") >= 9 * F.col("uni")
+    ).select("id_a", "id_b")
+    return neardup_clusters_star(d.select("doc_id"), edges).orderBy("doc_id")
+
+
+QUERIES["dedup_cluster_assignment_star"] = dedup_cluster_assignment_star
+ORACLES["dedup_cluster_assignment_star"] = ORACLE_CLUSTER_ASSIGNMENT
+
+
 def sample_stratified(spark, sf_dir):
     """Deterministic stratified sampling for training-data mixing: each
     source gets its own keep-rate (domain re-weighting, the 'data

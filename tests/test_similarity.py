@@ -200,3 +200,48 @@ def test_probe_masks_radius_shape(spark):
     m1 = probe_masks(8, 1)
     assert len(m1) == 9 and sorted(m1) == [0] + [1 << b for b in range(8)]
     assert len(probe_masks(8, 2)) == 1 + 8 + 28
+
+
+def test_star_clusters_equal_propagation(spark, docs):
+    """large-star/small-star connected components produce the IDENTICAL
+    labeling as min-label propagation on the real LSH candidate graph."""
+    from e_commerce_batch_etl_pipeline_spark.operators.dedup import (
+        neardup_clusters,
+        neardup_clusters_star,
+    )
+
+    pairs = lsh_candidate_pairs(docs, k=8, bands=4)
+    a = {
+        (r["doc_id"], r["cluster_id"])
+        for r in neardup_clusters(docs, pairs).collect()
+    }
+    b = {
+        (r["doc_id"], r["cluster_id"])
+        for r in neardup_clusters_star(docs, pairs).collect()
+    }
+    assert a == b and len(a) == docs.count()
+
+
+def test_star_clusters_beat_diameter_bound(spark):
+    """A 48-node PATH (diameter 47): min-label propagation cannot finish
+    in 8 rounds, large-star/small-star converges — the O(log^2 n) vs
+    O(diameter) separation that matters at 10^10 nodes."""
+    import pytest as _pytest
+
+    from e_commerce_batch_etl_pipeline_spark.operators.dedup import (
+        neardup_clusters,
+        neardup_clusters_star,
+    )
+
+    n = 48
+    nodes = spark.createDataFrame(
+        [(f"d{i:03d}",) for i in range(n)], "doc_id string"
+    )
+    chain = spark.createDataFrame(
+        [(f"d{i:03d}", f"d{i + 1:03d}") for i in range(n - 1)],
+        "id_a string, id_b string",
+    )
+    out = neardup_clusters_star(nodes, chain, max_iters=8)
+    assert {r["cluster_id"] for r in out.collect()} == {"d000"}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        neardup_clusters(nodes, chain, max_iters=8)
