@@ -13,6 +13,10 @@ between engines on floats), so dot products and norms are exact int64
 arithmetic, reproducible on any engine/cluster; doubles appear only in
 the final ratio, where IEEE division/sqrt of identical ints is
 bit-deterministic. Hyperplane weights are md5-derived ±1 per (plane, dim).
+CAVEAT: the multiply must run in DOUBLE on every engine — Spark widens
+float32 inputs before ``x * 10000``; DuckDB multiplies FLOAT*INT in
+float32, which quantizes some coordinates off by one (measured). SQL
+oracles therefore cast ``x::DOUBLE`` before the multiply.
 """
 
 from __future__ import annotations
@@ -254,4 +258,73 @@ def ann_ivf_topk(df: DataFrame, queries: DataFrame, centroids: DataFrame,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(qid_col, "rank", "nn_id", "dot")
+    )
+
+
+def kmeans_refine_q(df: DataFrame, seed_centroids: DataFrame,
+                    iters: int = 2, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    cent_id: str = "centroid_id") -> DataFrame:
+    """IVF centroid TRAINING: Lloyd iterations in EXACT integer
+    arithmetic. Centroids are represented as the un-normalized
+    element-wise SUM of their assigned quantized vectors — cosine is
+    scale-invariant, so the mean's division (whose floating-point result
+    is engine- and order-dependent) is never taken, and every iteration
+    is bit-portable (the SQL oracle reproduces it exactly).
+
+    Scale shape per iteration: assignment is a map-side broadcast argmax
+    over the corpus (no corpus shuffle); the update is one explode +
+    hash-agg on (centroid, position) — K×d result rows. Empty cells drop
+    (their centroid attracted nothing).
+
+    Returns the FINAL iteration's centroids as exact rows
+    (centroid_id, i, s, n): element position, int64 coordinate sum, and
+    the cell population.
+    """
+    corpus = df.select(
+        F.col(id_col), quantize(F.col(vec_col)).alias("qv")
+    ).withColumn("n2", norm2_q(F.col("qv")))
+    cents = seed_centroids.select(
+        F.col(cent_id), quantize(F.col(vec_col)).alias("cv")
+    )
+    sums = counts = None
+    for _ in range(iters):
+        cdf = cents.withColumn("cn2", norm2_q(F.col("cv")))
+        scored = (
+            corpus.crossJoin(F.broadcast(cdf))
+            .withColumn("dot", dot_q(F.col("qv"), F.col("cv")))
+            # cast BEFORE multiplying: int64 n2*cn2 overflows for summed
+            # centroids; both factors are < 2^53 so the double product
+            # is correctly rounded and engine-independent
+            .withColumn(
+                "cos",
+                F.col("dot")
+                / F.sqrt(F.col("n2").cast("double") * F.col("cn2").cast("double")),
+            )
+        )
+        w = W.partitionBy(id_col).orderBy(
+            F.col("cos").desc(), F.col(cent_id).asc()
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, cent_id, "qv")
+        )
+        pos = assigned.select(
+            F.col(cent_id), F.posexplode("qv").alias("i", "x")
+        )
+        sums = pos.groupBy(cent_id, "i").agg(F.sum("x").alias("s"))
+        counts = assigned.groupBy(cent_id).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        cents = sums.groupBy(cent_id).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "s"))),
+                lambda t: t["s"],
+            ).alias("cv")
+        )
+    return (
+        sums.join(counts, cent_id)
+        .select(cent_id, "i", "s", "n")
+        .orderBy(cent_id, "i")
     )

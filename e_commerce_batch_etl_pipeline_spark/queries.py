@@ -1205,12 +1205,12 @@ def embed_cosine_topk(spark, sf_dir):
 ORACLE_COSINE_TOPK = """
 WITH q AS (
   SELECT vec_id AS query_id,
-         list_transform(embedding, x -> floor(x*10000 + 0.5)::BIGINT) AS qq
+         list_transform(embedding, x -> floor(x::DOUBLE*10000 + 0.5)::BIGINT) AS qq
   FROM embeddings WHERE vec_id % 50 = 0
 ),
 c AS (
   SELECT vec_id AS nn_id,
-         list_transform(embedding, x -> floor(x*10000 + 0.5)::BIGINT) AS qv
+         list_transform(embedding, x -> floor(x::DOUBLE*10000 + 0.5)::BIGINT) AS qv
   FROM embeddings
 ),
 scored AS (
@@ -1241,7 +1241,7 @@ def embed_lsh_signature(spark, sf_dir):
 ORACLE_LSH_SIG = """
 WITH v AS (
   SELECT vec_id, i::INT AS i,
-         floor(embedding[i::INT + 1] * 10000 + 0.5)::BIGINT AS x
+         floor(embedding[i::INT + 1]::DOUBLE * 10000 + 0.5)::BIGINT AS x
   FROM embeddings CROSS JOIN range(64) r(i)
 ),
 wt AS (
@@ -1583,7 +1583,7 @@ def dedup_embedding_neardup(spark, sf_dir):
 ORACLE_EMBED_NEARDUP = """
 WITH q AS (
   SELECT vec_id,
-         list_transform(embedding, x -> floor(x*10000 + 0.5)::BIGINT) AS qv
+         list_transform(embedding, x -> floor(x::DOUBLE*10000 + 0.5)::BIGINT) AS qv
   FROM embeddings
 ),
 n AS (
@@ -1652,7 +1652,7 @@ ORACLES.update({
 ORACLE_ANN_LSH = """
 WITH v AS (
   SELECT vec_id, i::INT AS i,
-         floor(embedding[i::INT + 1] * 10000 + 0.5)::BIGINT AS x
+         floor(embedding[i::INT + 1]::DOUBLE * 10000 + 0.5)::BIGINT AS x
   FROM embeddings CROSS JOIN range(64) r(i)
 ),
 wt AS (
@@ -1670,14 +1670,14 @@ sig AS (
 ),
 q AS (
   SELECT e.vec_id AS query_id,
-         list_transform(e.embedding, x -> floor(x*10000 + 0.5)::BIGINT) AS qq,
+         list_transform(e.embedding, x -> floor(x::DOUBLE*10000 + 0.5)::BIGINT) AS qq,
          s.bucket
   FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id
   WHERE e.vec_id % 50 = 0
 ),
 c AS (
   SELECT e.vec_id AS nn_id,
-         list_transform(e.embedding, x -> floor(x*10000 + 0.5)::BIGINT) AS qv,
+         list_transform(e.embedding, x -> floor(x::DOUBLE*10000 + 0.5)::BIGINT) AS qv,
          s.bucket
   FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id
 ),
@@ -1719,7 +1719,7 @@ def embed_ann_ivf_topk(spark, sf_dir):
 ORACLE_ANN_IVF = """
 WITH qz AS (
   SELECT vec_id,
-         list_transform(embedding, x -> floor(x*10000 + 0.5)::BIGINT) AS qv
+         list_transform(embedding, x -> floor(x::DOUBLE*10000 + 0.5)::BIGINT) AS qv
   FROM embeddings
 ),
 n AS (
@@ -2007,7 +2007,7 @@ _ANN_RECALL_SCORE = (
 ORACLE_ANN_RECALL = f"""
 WITH qz AS (
   SELECT vec_id,
-         list_transform(embedding, x -> floor(x*10000 + 0.5)::BIGINT) AS qv
+         list_transform(embedding, x -> floor(x::DOUBLE*10000 + 0.5)::BIGINT) AS qv
   FROM embeddings
 ),
 n AS (
@@ -2026,7 +2026,7 @@ truth AS (
 ),
 v AS (
   SELECT vec_id, i::INT AS i,
-         floor(embedding[i::INT + 1] * 10000 + 0.5)::BIGINT AS x
+         floor(embedding[i::INT + 1]::DOUBLE * 10000 + 0.5)::BIGINT AS x
   FROM embeddings CROSS JOIN range(64) r(i)
 ),
 wt AS (
@@ -2126,7 +2126,7 @@ def ann_recall_multiprobe(spark, sf_dir):
 ORACLE_ANN_MULTIPROBE = f"""
 WITH qz AS (
   SELECT vec_id,
-         list_transform(embedding, x -> floor(x*10000 + 0.5)::BIGINT) AS qv
+         list_transform(embedding, x -> floor(x::DOUBLE*10000 + 0.5)::BIGINT) AS qv
   FROM embeddings
 ),
 n AS (
@@ -2145,7 +2145,7 @@ truth AS (
 ),
 v AS (
   SELECT vec_id, i::INT AS i,
-         floor(embedding[i::INT + 1] * 10000 + 0.5)::BIGINT AS x
+         floor(embedding[i::INT + 1]::DOUBLE * 10000 + 0.5)::BIGINT AS x
   FROM embeddings CROSS JOIN range(64) r(i)
 ),
 wt AS (
@@ -2220,15 +2220,102 @@ GROUP BY 1 ORDER BY t.query_id
 """
 
 
+def embed_kmeans_refine(spark, sf_dir):
+    """IVF centroid training (operators/similarity.py:kmeans_refine_q):
+    2 Lloyd iterations from the vec_id%25 seed, centroids kept as
+    un-normalized integer coordinate sums (cosine is scale-invariant,
+    so the engine- and order-dependent float mean is never computed).
+    Output = exact rows (centroid_id, i, s, n); the oracle replays both
+    iterations in SQL with identical integer arithmetic."""
+    from .operators.similarity import kmeans_refine_q
+
+    e = _t(spark, sf_dir, "embeddings")
+    seed = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return kmeans_refine_q(e, seed, iters=2)
+
+
+_KM_SCORE0 = (
+    "(list_sum(list_transform(list_zip(a.qv, c.cv), p -> p[1]*p[2]))::BIGINT"
+    " / sqrt(a.n2::DOUBLE * c.cn2::DOUBLE))"
+)
+
+ORACLE_KMEANS_REFINE = f"""
+WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x::DOUBLE*10000 + 0.5)::BIGINT) AS qv
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, qv,
+         list_sum(list_transform(qv, x -> x * x))::BIGINT AS n2
+  FROM qz
+),
+v AS (
+  SELECT vec_id, i::INT AS i, qv[i::INT + 1] AS x
+  FROM qz CROSS JOIN range(64) r(i)
+),
+c0 AS (
+  SELECT vec_id AS centroid_id, qv AS cv,
+         list_sum(list_transform(qv, x -> x * x))::BIGINT AS cn2
+  FROM qz WHERE vec_id % 25 = 0
+),
+a1 AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT a.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY {_KM_SCORE0} DESC, c.centroid_id ASC) AS rn
+    FROM n a CROSS JOIN c0 c
+  ) WHERE rn = 1
+),
+s1 AS (
+  SELECT a1.centroid_id, v.i, sum(v.x)::BIGINT AS s
+  FROM a1 JOIN v USING (vec_id) GROUP BY 1, 2
+),
+c1n2 AS (
+  SELECT centroid_id, sum(s * s)::BIGINT AS cn2 FROM s1 GROUP BY 1
+),
+a2 AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT d.vec_id, d.centroid_id,
+           row_number() OVER (PARTITION BY d.vec_id
+             ORDER BY (d.dot / sqrt(d.n2::DOUBLE * d.cn2::DOUBLE)) DESC,
+                      d.centroid_id ASC) AS rn
+    FROM (
+      SELECT v.vec_id, s1.centroid_id,
+             sum(v.x * s1.s)::BIGINT AS dot,
+             any_value(n.n2) AS n2, any_value(c1n2.cn2) AS cn2
+      FROM v
+      JOIN s1 USING (i)
+      JOIN n ON n.vec_id = v.vec_id
+      JOIN c1n2 ON c1n2.centroid_id = s1.centroid_id
+      GROUP BY 1, 2
+    ) d
+  ) WHERE rn = 1
+),
+s2 AS (
+  SELECT a2.centroid_id, v.i, sum(v.x)::BIGINT AS s
+  FROM a2 JOIN v USING (vec_id) GROUP BY 1, 2
+),
+cnt AS (SELECT centroid_id, count(*)::BIGINT AS n FROM a2 GROUP BY 1)
+SELECT s2.centroid_id, s2.i, s2.s, cnt.n
+FROM s2 JOIN cnt USING (centroid_id)
+ORDER BY s2.centroid_id, s2.i
+"""
+
+
 QUERIES.update({
     "dedup_lsh_jaccard_verify": dedup_lsh_jaccard_verify,
     "ann_recall_at_k": ann_recall_at_k,
     "ann_recall_multiprobe": ann_recall_multiprobe,
+    "embed_kmeans_refine": embed_kmeans_refine,
 })
 ORACLES.update({
     "dedup_lsh_jaccard_verify": ORACLE_LSH_JACCARD_VERIFY,
     "ann_recall_at_k": ORACLE_ANN_RECALL,
     "ann_recall_multiprobe": ORACLE_ANN_MULTIPROBE,
+    "embed_kmeans_refine": ORACLE_KMEANS_REFINE,
 })
 
 
