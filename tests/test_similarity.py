@@ -245,3 +245,28 @@ def test_star_clusters_beat_diameter_bound(spark):
     assert {r["cluster_id"] for r in out.collect()} == {"d000"}
     with _pytest.raises(RuntimeError, match="did not converge"):
         neardup_clusters(nodes, chain, max_iters=8)
+
+
+def test_kmeans_refine_exact_and_deterministic(spark, emb):
+    from e_commerce_batch_etl_pipeline_spark.operators.similarity import (
+        kmeans_refine_q,
+    )
+
+    seed = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    out = kmeans_refine_q(emb, seed, iters=2)
+    rows = out.collect()
+    # every surviving cell is fully materialized: 64 coordinate rows,
+    # constant n per cell; populations sum to the corpus size
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["centroid_id"], []).append(r)
+    assert all(len(v) == 64 for v in by_cell.values())
+    assert all(len({x["n"] for x in v}) == 1 for v in by_cell.values())
+    assert sum(v[0]["n"] for v in by_cell.values()) == emb.count()
+    # bit-deterministic: a second run produces identical rows
+    rows2 = kmeans_refine_q(emb, seed, iters=2).collect()
+    key = lambda r: (r["centroid_id"], r["i"])
+    assert sorted(map(tuple, rows), key=lambda t: (t[0], t[1])) == \
+        sorted(map(tuple, rows2), key=lambda t: (t[0], t[1]))
