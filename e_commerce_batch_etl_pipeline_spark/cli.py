@@ -11,6 +11,8 @@ Subcommands:
     bootstrap  — initial snapshot commit of the base table
     replay     — checkpointed epoch loop (resumes automatically)
     changes    — incremental change feed between two snapshot versions
+    rollup     — maintain a (group, count, sum) rollup incrementally
+                 from the change feed (O(changes) per refresh)
     lookup     — bucket-routed point read (serving path, time-travelable)
     maintain   — compaction / snapshot expiry / orphan GC / rebucket
 """
@@ -69,6 +71,15 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--to-version", type=int, required=True)
     ch.add_argument("--out", required=True,
                     help="parquet dir for the change feed")
+
+    ru = sub.add_parser("rollup")
+    ru.add_argument("--table", required=True)
+    ru.add_argument("--state", required=True,
+                    help="rollup state dir (parquet + _VERSION marker); "
+                         "created on first run, refreshed incrementally "
+                         "from the change feed afterwards")
+    ru.add_argument("--group-col", default="source")
+    ru.add_argument("--measure", default="n_tok")
 
     lk = sub.add_parser("lookup")
     lk.add_argument("--table", required=True)
@@ -164,6 +175,53 @@ def main(argv: list[str] | None = None) -> int:
             "inserts": counts.get("I", 0), "updates": counts.get("U", 0),
             "deletes": counts.get("D", 0), "out": args.out,
         }))
+    elif args.cmd == "rollup":
+        import os as _os
+
+        from pyspark.sql import functions as F
+
+        from .tables.format import LakeTable
+        from .tables.rollup import incremental_rollup
+
+        table = LakeTable(args.table)
+        cur = table.current().version
+        vfile = _os.path.join(args.state, "_VERSION")
+        data_dir = _os.path.join(args.state, "data")
+        if _os.path.exists(vfile):
+            v_from = int(open(vfile).read().strip())
+            state = spark.read.parquet(data_dir) if v_from != cur else None
+            if v_from == cur:
+                print(json.dumps({"group_col": args.group_col,
+                                  "version": cur, "refreshed": False}))
+                return 0
+            new_state = incremental_rollup(
+                table, spark, v_from, cur, state,
+                args.group_col, args.measure,
+            )
+            mode = "incremental"
+        else:
+            new_state = (
+                table.read(spark)
+                .groupBy(args.group_col)
+                .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                     F.sum(args.measure).cast("long").alias("total"))
+            )
+            mode = "bootstrap"
+        tmp_dir = _os.path.join(args.state, f"data.tmp")
+        new_state.write.mode("overwrite").parquet(tmp_dir)
+        # swap after the write succeeds; _VERSION last (crash-safe: a
+        # missed swap just recomputes from the recorded older version)
+        import shutil as _shutil
+
+        _shutil.rmtree(data_dir, ignore_errors=True)
+        _os.replace(tmp_dir, data_dir)
+        with open(vfile + ".tmp", "w") as f:
+            f.write(str(cur))
+        _os.replace(vfile + ".tmp", vfile)
+        n_groups = spark.read.parquet(data_dir).count()
+        print(json.dumps({"group_col": args.group_col, "mode": mode,
+                          "version": cur, "groups": n_groups,
+                          "refreshed": True}))
     elif args.cmd == "lookup":
         from .tables.format import LakeTable
 
