@@ -447,9 +447,11 @@ class CdcEngine:
         # same cache materialization, vs a parquet round-trip that scales).
         # The explicit repartition(B, key) makes the staged files
         # BUCKET-PURE (partition index == bucket_expr — murmur3-aligned),
-        # which yields per-bucket stats (rows, max lsn) for free from the
-        # parquet footers: no stats job at all. On a real cluster the
-        # staging write doubles as a deterministic restart point.
+        # which yields per-bucket stats (rows, max lsn) nearly for free:
+        # parquet footer reads at small bucket counts, a column-pruned
+        # distributed job above stats_max_footer_files (_bucket_stats).
+        # On a real cluster the staging write doubles as a deterministic
+        # restart point.
         stage_dir = os.path.join(
             self.checkpoint_dir, "stage", f"epoch-{epoch:05d}"
         )
