@@ -14,6 +14,7 @@ Subcommands:
     rollup     — maintain a (group, count, sum) rollup incrementally
                  from the change feed (O(changes) per refresh)
     lookup     — bucket-routed point read (serving path, time-travelable)
+    status     — metadata-only table/ops probe (no Spark session)
     maintain   — compaction / snapshot expiry / orphan GC / rebucket
 """
 
@@ -91,6 +92,12 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument("--out", default=None,
                     help="optional parquet dir; otherwise prints rows")
 
+    st = sub.add_parser("status")
+    st.add_argument("--table", required=True)
+    st.add_argument("--checkpoint", default=None,
+                    help="include the tail of this checkpoint's "
+                         "run_history.jsonl")
+
     m = sub.add_parser("maintain")
     m.add_argument("--table", required=True)
     m.add_argument("--max-files-per-bucket", type=int, default=4)
@@ -105,6 +112,41 @@ def main(argv: list[str] | None = None) -> int:
                         "count evolution; atomic snapshot commit)")
 
     args = p.parse_args(argv)
+
+    if args.cmd == "status":
+        # pure metadata — no Spark session (sub-second ops probe; the
+        # observability surface: reference streamlit_app/app.py's
+        # pipeline-stats panel as one machine-readable JSON line)
+        import os as _os
+
+        from .tables.format import LakeTable
+
+        table = LakeTable(args.table)
+        snap = table.current()
+        deltas = [f for f in snap.files if f.get("kind") == "delta"]
+        wm = [int(v) for v in snap.watermark.values()]
+        out = {
+            "version": snap.version,
+            "schema_version": snap.schema.schema_version,
+            "columns": snap.schema.names(),
+            "num_buckets": snap.num_buckets,
+            "live_files": len(snap.files),
+            "pending_delta_files": len(deltas),
+            "buckets_with_deltas": len({f["bucket"] for f in deltas}),
+            "watermark_min": min(wm) if wm else None,
+            "watermark_max": max(wm) if wm else None,
+            "fences": len(snap.fences),
+            "min_fenced_epoch": snap.min_fenced_epoch,
+            "snapshots_retained": len(table.history()),
+            "committed_at": snap.committed_at,
+        }
+        if args.checkpoint:
+            hist_path = _os.path.join(args.checkpoint, "run_history.jsonl")
+            if _os.path.exists(hist_path):
+                runs = [json.loads(line) for line in open(hist_path)]
+                out["runs"] = runs[-5:]
+        print(json.dumps(out))
+        return 0
 
     from .session import build_session
 
