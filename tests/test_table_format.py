@@ -449,3 +449,20 @@ def test_manifest_gc_and_time_travel(spark, table, tmpdir_clean):
         assert os.path.exists(os.path.join(md, name)), name
     # at least the emptied bucket's pre-commit manifest became orphaned
     assert any(r.startswith("metadata/manifest-") for r in removed), removed
+
+
+def test_cli_status_metadata_only(table, capsys):
+    """`status` answers from snapshot metadata alone — no Spark session
+    is built (sub-second ops probe)."""
+    import json as _json
+
+    from e_commerce_batch_etl_pipeline_spark.cli import main
+
+    rc = main(["status", "--table", table.root])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip())
+    snap = table.current()
+    assert out["version"] == snap.version
+    assert out["num_buckets"] == snap.num_buckets
+    assert out["live_files"] == len(snap.files)
+    assert out["columns"] == snap.schema.names()
