@@ -94,6 +94,10 @@ REPLAY_BUCKETS = 64
 SCALING_CHANGES = 4_000_000
 SCALING_EPOCHS = 3
 SCALING_ATTEMPTS = 5
+# soft wall-clock budget for the WHOLE bench run: scaling attempts stop
+# early (with however many completed, >= 1) rather than risk an external
+# timeout killing the run before the JSON line prints
+TIME_BUDGET_SEC = float(os.environ.get("BENCH_TIME_BUDGET_SEC", "1800"))
 
 
 def build(master: str, shuffle: int):
@@ -246,6 +250,7 @@ def hw_calibration(n: int) -> dict:
 
 
 def main() -> None:
+    t_start = time.time()
     tmp = tempfile.mkdtemp(prefix="bench_cdc_")
     out: dict = {"sf": SF_DIR, "unit": "sec"}
     try:
@@ -280,6 +285,12 @@ def main() -> None:
             sp_prep.stop()
             attempts = []
             for attempt in range(SCALING_ATTEMPTS):
+                if attempts and time.time() - t_start > TIME_BUDGET_SEC:
+                    out["scaling_attempts_truncated"] = (
+                        f"{len(attempts)}/{SCALING_ATTEMPTS} within "
+                        f"{TIME_BUDGET_SEC:.0f}s budget"
+                    )
+                    break
                 pair = {}
                 for n in (SCALING_N * 4, SCALING_N):
                     sp = build(f"local[{n}]", n)
