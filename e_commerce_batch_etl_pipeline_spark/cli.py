@@ -72,6 +72,10 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--to-version", type=int, required=True)
     ch.add_argument("--out", required=True,
                     help="parquet dir for the change feed")
+    ch.add_argument("--include-old", action="store_true",
+                    help="append _old_<col> pre-image columns to U/D "
+                         "rows (what an incremental aggregate maintainer "
+                         "needs to retract old contributions)")
 
     ru = sub.add_parser("rollup")
     ru.add_argument("--table", required=True)
@@ -203,7 +207,8 @@ def main(argv: list[str] | None = None) -> int:
         from .tables.format import LakeTable
 
         feed = LakeTable(args.table).changes_between(
-            spark, args.from_version, args.to_version
+            spark, args.from_version, args.to_version,
+            include_old=args.include_old,
         )
         feed.write.mode("overwrite").parquet(args.out)
         counts = {
