@@ -2764,3 +2764,54 @@ GROUP BY 1, 2, 3 ORDER BY event_id
 
 QUERIES["range_join_views_1h"] = range_join_views_1h
 ORACLES["range_join_views_1h"] = ORACLE_RANGE_JOIN
+
+
+# =====================================================================
+# Driver-correctness-window ordering.
+#
+# The driver's correctness gate checks only the FIRST 50 entries of the
+# queries() dict (insertion order); the registry holds more. Rounds 2-3
+# left 8 queries past the cap without a driver row (two of them —
+# range_join_views_1h, dedup_cluster_assignment_star — never checked in
+# any round). Rotate: never/seldom-driver-checked queries first,
+# multiply-verified ETL queries (green in BOTH CORRECTNESS_r02 and r03)
+# last. New queries must be registered ABOVE this block so they land
+# inside the window.
+# =====================================================================
+
+_DRIVER_HEAD = [
+    # never driver-checked before round 4
+    "dedup_cluster_assignment_star",
+    "range_join_views_1h",
+    # driver-green only in r02 (fell past the cap in r03)
+    "dedup_cluster_assignment",
+    "sample_stratified",
+    "quality_filter_pipeline",
+    "pack_sequences_2048",
+    "decontaminate_ngram_overlap",
+    "asof_click_to_view",
+]
+_DRIVER_TAIL = [
+    # multiply-verified (green driver rows in r02 AND r03) — rotated out
+    "etl_price_bucket",
+    "etl_null_handling",
+    "etl_date_derived",
+    "etl_conditional_agg",
+    "etl_topk",
+    "etl_dq_null_counts",
+    "etl_cast_rename_project",
+    "etl_date_functions",
+    "pivot_status_by_priority",
+    "rollup_revenue",
+    "set_ops_except",
+    "union_expand",
+    "etl_percentiles",
+    "json_extract_props",
+]
+
+QUERIES = {
+    **{k: QUERIES[k] for k in _DRIVER_HEAD},
+    **{k: v for k, v in QUERIES.items()
+       if k not in _DRIVER_HEAD and k not in _DRIVER_TAIL},
+    **{k: QUERIES[k] for k in _DRIVER_TAIL},
+}
