@@ -32,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -300,17 +301,32 @@ def main() -> None:
                     )
                     sp.stop()
                 eff_i = pair[SCALING_N * 4] / (4 * pair[SCALING_N])
+                # per-attempt hardware ceiling: a pure-CPU N-vs-4N burn
+                # run in the SAME time window as the attempt, so a
+                # co-tenant-contaminated window is visible inside the
+                # artifact (round-3 verdict: the once-per-run ceiling
+                # could not certify individual attempts)
+                hw_i = hw_calibration(SCALING_N)
                 attempts.append(
                     {"low_events_per_sec": round(pair[SCALING_N], 1),
                      "high_events_per_sec": round(pair[SCALING_N * 4], 1),
-                     "efficiency": round(eff_i, 3)}
+                     "efficiency": round(eff_i, 3),
+                     "hw_ceiling_eff": hw_i["eff"],
+                     "efficiency_vs_hw": round(
+                         eff_i / max(hw_i["eff"], 1e-9), 3)}
                 )
-            # HEADLINE = MEDIAN attempt (round-2 verdict: a best-of
-            # headline overstated the artifact — the median of >=3
-            # interleaved pairs is reproducible from `attempts` alone);
-            # the best attempt is reported alongside, labeled as such
-            by_eff = sorted(attempts, key=lambda a: a["efficiency"])
-            med_at = by_eff[len(by_eff) // 2]
+            # HEADLINE = true MEDIAN of attempt efficiencies
+            # (statistics.median — an even attempt count, e.g. after a
+            # time-budget truncation, averages the middle two instead of
+            # biasing toward the better attempt); low/high rates come
+            # from the attempt closest to that median
+            effs = [a["efficiency"] for a in attempts]
+            med_eff = statistics.median(effs)
+            med_at = min(
+                attempts,
+                key=lambda a: (abs(a["efficiency"] - med_eff),
+                               a["efficiency"]),
+            )
             out["scaling"] = {
                 "low": {"master": f"local[{SCALING_N}]",
                         "events_per_sec": med_at["low_events_per_sec"]},
@@ -319,13 +335,16 @@ def main() -> None:
                 "cores_ratio": 4,
                 "events_per_epoch": SCALING_CHANGES,
                 "merge_mode": "mor",
-                "efficiency": med_at["efficiency"],
-                "efficiency_protocol": "median of interleaved paired attempts",
-                "efficiency_best": by_eff[-1]["efficiency"],
+                "efficiency": round(med_eff, 3),
+                "efficiency_protocol": (
+                    "statistics.median of interleaved paired attempts; "
+                    "each attempt carries its own same-window hw ceiling"
+                ),
+                "efficiency_best": max(effs),
                 "attempts": attempts,
                 "efficiency_vs_hw_ceiling": round(
-                    med_at["efficiency"]
-                    / max(out["hw_calibration"]["eff"], 1e-9), 3),
+                    statistics.median(
+                        [a["efficiency_vs_hw"] for a in attempts]), 3),
             }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

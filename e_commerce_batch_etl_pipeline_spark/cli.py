@@ -230,17 +230,35 @@ def main(argv: list[str] | None = None) -> int:
         from .tables.format import LakeTable
         from .tables.rollup import incremental_rollup
 
+        import shutil as _shutil
+
         table = LakeTable(args.table)
         cur = table.current().version
-        vfile = _os.path.join(args.state, "_VERSION")
         data_dir = _os.path.join(args.state, "data")
-        if _os.path.exists(vfile):
-            v_from = int(open(vfile).read().strip())
-            state = spark.read.parquet(data_dir) if v_from != cur else None
+        old_dir = data_dir + ".old"
+        marker = _os.path.join(data_dir, "_VERSION")
+        legacy_vfile = _os.path.join(args.state, "_VERSION")
+        # recover an interrupted swap: data renamed aside but the new
+        # copy never promoted — restore it (its embedded marker still
+        # matches its rows); a leftover .old beside a live data dir is
+        # a completed swap's debris
+        if _os.path.exists(old_dir) and not _os.path.exists(data_dir):
+            _os.replace(old_dir, data_dir)
+        _shutil.rmtree(old_dir, ignore_errors=True)
+
+        v_from = None
+        if _os.path.isdir(data_dir):
+            if _os.path.exists(marker):
+                v_from = int(open(marker).read().strip())
+            elif _os.path.exists(legacy_vfile):
+                # pre-marker layout: external _VERSION beside data/
+                v_from = int(open(legacy_vfile).read().strip())
+        if v_from is not None:
             if v_from == cur:
                 print(json.dumps({"group_col": args.group_col,
                                   "version": cur, "refreshed": False}))
                 return 0
+            state = spark.read.parquet(data_dir)
             new_state = incremental_rollup(
                 table, spark, v_from, cur, state,
                 args.group_col, args.measure,
@@ -254,17 +272,22 @@ def main(argv: list[str] | None = None) -> int:
                      F.sum(args.measure).cast("long").alias("total"))
             )
             mode = "bootstrap"
-        tmp_dir = _os.path.join(args.state, f"data.tmp")
+        tmp_dir = _os.path.join(args.state, "data.tmp")
+        _shutil.rmtree(tmp_dir, ignore_errors=True)
         new_state.write.mode("overwrite").parquet(tmp_dir)
-        # swap after the write succeeds; _VERSION last (crash-safe: a
-        # missed swap just recomputes from the recorded older version)
-        import shutil as _shutil
-
-        _shutil.rmtree(data_dir, ignore_errors=True)
-        _os.replace(tmp_dir, data_dir)
-        with open(vfile + ".tmp", "w") as f:
+        # version marker INSIDE the data dir ("_"-prefixed files are
+        # invisible to parquet directory reads): one os.replace promotes
+        # rows and version together, so no crash window can pair new
+        # rows with the old version (incremental double-apply) or leave
+        # _VERSION pointing at a destroyed data dir
+        with open(_os.path.join(tmp_dir, "_VERSION"), "w") as f:
             f.write(str(cur))
-        _os.replace(vfile + ".tmp", vfile)
+        if _os.path.exists(data_dir):
+            _os.replace(data_dir, old_dir)
+        _os.replace(tmp_dir, data_dir)
+        _shutil.rmtree(old_dir, ignore_errors=True)
+        if _os.path.exists(legacy_vfile):
+            _os.remove(legacy_vfile)
         n_groups = spark.read.parquet(data_dir).count()
         print(json.dumps({"group_col": args.group_col, "mode": mode,
                           "version": cur, "groups": n_groups,

@@ -292,10 +292,22 @@ def _parquet_rows(path: str) -> int:
 
 
 # Manifest files are content-addressed (name = sha1 of canonical entry
-# JSON) and therefore IMMUTABLE — safe to cache for the process lifetime.
-# Repeat current() calls in the ingest loop re-read only manifests that
-# actually changed; entry dicts are shared and must not be mutated.
-_MANIFEST_CACHE: dict[str, list] = {}
+# JSON) and therefore IMMUTABLE — safe to cache indefinitely, but NOT
+# unboundedly: a long-lived driver (soak / streaming engine) with
+# per-epoch manifest churn at 1024+ buckets would otherwise accumulate
+# one entry list per manifest ever touched. LRU-capped; eviction only
+# costs a re-read. Entry dicts are shared and must not be mutated.
+from collections import OrderedDict as _OrderedDict
+
+_MANIFEST_CACHE: _OrderedDict[str, list] = _OrderedDict()
+_MANIFEST_CACHE_MAX = int(os.environ.get("LAKE_MANIFEST_CACHE_MAX", "4096"))
+
+
+def _cache_put(path: str, entries: list) -> None:
+    _MANIFEST_CACHE[path] = entries
+    _MANIFEST_CACHE.move_to_end(path)
+    while len(_MANIFEST_CACHE) > _MANIFEST_CACHE_MAX:
+        _MANIFEST_CACHE.popitem(last=False)
 
 
 def _manifest_bytes(entries: list[dict]) -> bytes:
@@ -314,7 +326,9 @@ def _load_manifest(md_dir: str, name: str) -> list[dict]:
     if cached is None:
         with open(path) as f:
             cached = json.load(f)
-        _MANIFEST_CACHE[path] = cached
+        _cache_put(path, cached)
+    else:
+        _MANIFEST_CACHE.move_to_end(path)
     return list(cached)
 
 
@@ -334,7 +348,7 @@ def _write_manifest(md_dir: str, entries: list[dict]) -> str:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, path)
-        _MANIFEST_CACHE[path] = [dict(e) for e in entries]
+        _cache_put(path, [dict(e) for e in entries])
     return name
 
 
@@ -381,7 +395,19 @@ def commit_lock(root: str, wait_sec: float | None = None):
 
     deadline = time.monotonic() + wait_sec
     backoff = 0.02
+    age = None  # last successful stat; None until one lands
     while True:
+        # deadline first, so EVERY path through the loop is bounded —
+        # including a lock that flaps between exists (O_EXCL fails) and
+        # vanished (stat fails), which previously skipped both the
+        # deadline check and the backoff sleep
+        if time.monotonic() >= deadline:
+            held = ("unknown age (stat raced)" if age is None
+                    else f"age {age:.0f}s at last stat")
+            raise ConcurrentCommitError(
+                f"commit lock held ({path}, {held}, waited "
+                f"{wait_sec:.0f}s)"
+            ) from None
         try:
             _acquire()
             break
@@ -390,7 +416,10 @@ def commit_lock(root: str, wait_sec: float | None = None):
         try:
             age = time.time() - os.path.getmtime(path)
         except OSError:
-            continue  # lock vanished between EXISTS and stat — retry now
+            # lock vanished between EXISTS and stat — retry promptly but
+            # never hot: minimal sleep, then back through the deadline
+            time.sleep(0.005)
+            continue
         if age > LOCK_STALE_SEC:
             # stale: claim via atomic rename — exactly one waiter succeeds
             claim = f"{path}.stale.{uuid.uuid4().hex}"
@@ -408,11 +437,6 @@ def commit_lock(root: str, wait_sec: float | None = None):
                     break
                 except FileExistsError:
                     pass  # re-taken during takeover — back to the loop
-        if time.monotonic() >= deadline:
-            raise ConcurrentCommitError(
-                f"commit lock held ({path}, age {age:.0f}s, waited "
-                f"{wait_sec:.0f}s)"
-            ) from None
         time.sleep(backoff)
         backoff = min(backoff * 2, 0.5)
     try:
