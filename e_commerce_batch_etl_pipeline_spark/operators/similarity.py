@@ -24,8 +24,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from .dedup import md5int
-
 QUANT = 10000
 
 
@@ -80,43 +78,56 @@ def cosine_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def _plane_weights(planes: int, dim: int) -> list[list[int]]:
+    """±1 weight matrix, w(p,i) = +1 iff md5int(f\"{p}:{i}\") & 1 == 1 —
+    computed with hashlib at PLAN time, bit-identical to the SQL oracles'
+    ('0x'||substr(md5(p||':'||i),1,15))::BIGINT & 1 derivation."""
+    import hashlib
+
+    def bit(p: int, i: int) -> int:
+        h = int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:15], 16)
+        return 1 if h & 1 else -1
+
+    return [[bit(p, i) for i in range(dim)] for p in range(planes)]
+
+
 def hyperplane_signature(df: DataFrame, id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          planes: int = 16, dim: int | None = None) -> DataFrame:
     """Random-hyperplane LSH signature: bit p = (sum_i w(p,i)*x_i) > 0
-    where w(p,i) = ±1 from md5(p:i). Map-only, deterministic.
+    where w(p,i) = ±1 from md5(p:i). Deterministic.
+
+    MAP-ONLY: the (planes × dim) weight matrix is known at plan time, so
+    it is hoisted into literal arrays and each plane's projection is one
+    per-row ``zip_with`` + ``aggregate`` fold — no explode, no weight
+    table join, no shuffle at all (the SimHash treatment,
+    operators/dedup.py:simhash). The previous posexplode + groupBy
+    formulation shuffled N×dim rows (64× inflation at dim=64) into a
+    two-level aggregate — at 10^9 vectors that shuffle is the dominant
+    cost of signature building; this one scans and emits exactly N rows.
+    Rows with null/empty vectors are excluded (posexplode semantics the
+    oracle encodes).
 
     Pass ``dim`` when known (callers usually know it) — the fallback
     ``first()`` probe costs a driver-side job per invocation."""
-    spark = df.sparkSession
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    # weight table (planes × dim) is tiny — broadcast
-    wt = spark.range(planes).crossJoin(spark.range(dim).withColumnRenamed("id", "i"))
-    wt = wt.select(
-        F.col("id").cast("int").alias("plane"),
-        F.col("i").cast("int").alias("i"),
-        F.when(
-            md5int(F.concat(F.col("id").cast("string"), F.lit(":"),
-                            F.col("i").cast("string"))).bitwiseAND(F.lit(1)) == 1,
-            F.lit(1),
-        ).otherwise(F.lit(-1)).alias("w"),
-    )
-    v = df.select(
-        F.col(id_col),
-        F.posexplode(quantize(F.col(vec_col))).alias("i", "x"),
-    )
-    proj = (
-        v.join(F.broadcast(wt), "i")
-        .groupBy(id_col, "plane")
-        .agg(F.sum(F.col("w") * F.col("x")).alias("s"))
-    )
-    return proj.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), plane)"))
-            .otherwise(F.lit(0))
-        ).alias("bucket")
-    )
+    weights = _plane_weights(planes, dim)
+    rows = df.select(
+        F.col(id_col), quantize(F.col(vec_col)).alias("_qv")
+    ).filter(F.size("_qv") > 0)
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        warr = F.array(*[F.lit(w) for w in weights[p]])
+        s_p = F.aggregate(
+            F.zip_with(F.col("_qv"), warr, lambda x, w: x * w),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(
+            s_p > 0, F.lit(1 << p).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return rows.select(F.col(id_col), bucket.alias("bucket"))
 
 
 def probe_masks(planes: int, radius: int) -> list[int]:

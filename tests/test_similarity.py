@@ -270,3 +270,18 @@ def test_kmeans_refine_exact_and_deterministic(spark, emb):
     key = lambda r: (r["centroid_id"], r["i"])
     assert sorted(map(tuple, rows), key=lambda t: (t[0], t[1])) == \
         sorted(map(tuple, rows2), key=lambda t: (t[0], t[1]))
+
+
+def test_hyperplane_signature_is_map_only(spark, emb):
+    """The ANN partitioner's signature stage must not shuffle: weights
+    are plan-time literal arrays, projections per-row zip_with folds —
+    the posexplode+groupBy formulation (N×dim shuffle, 64× inflation at
+    dim=64) must not come back (round-3 verdict)."""
+    sig = hyperplane_signature(emb, planes=16, dim=64)
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    # and it still buckets: >1 bucket, every vector represented
+    n = emb.count()
+    assert sig.count() == n
+    assert sig.select("bucket").distinct().count() > 1
