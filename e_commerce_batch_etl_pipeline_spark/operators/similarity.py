@@ -130,6 +130,77 @@ def hyperplane_signature(df: DataFrame, id_col: str = "vec_id",
     return rows.select(F.col(id_col), bucket.alias("bucket"))
 
 
+def embedding_neardup_lsh(df: DataFrame, id_col: str = "vec_id",
+                          vec_col: str = "embedding", planes: int = 16,
+                          dim: int | None = None,
+                          bands: int = 8) -> DataFrame:
+    """Embedding near-duplicate pairs, LSH-bucketed — the SCALE path
+    (the all-pairs crossJoin sibling in queries.py is the labeled
+    exactness baseline).
+
+    Candidate generation is hyperplane-bit BANDING, the bit-sampling
+    analog of MinHash-LSH banding: the ``planes``-bit signature splits
+    into ``bands`` bands of planes/bands bits; a pair is a candidate iff
+    it agrees on ALL bits of at least one band. For a cosine-0.5 pair
+    (bit-disagree probability θ/π = 1/3), 8 bands × 2 bits catch ≥ 99%
+    of pairs while same-bucket-only (16 exact bits) catches ~15%.
+    Candidates are then verified with the SAME exact-integer cosine
+    predicate as the baseline (dot > 0 AND 4·dot² ≥ n2a·n2b ⇔ cos ≥ 0.5
+    — no float compare at the boundary).
+
+    Scale shape: signature build is map-only (zero exchanges); banding
+    inflates ×bands (≈8), not ×dim; everything downstream is shuffled
+    equi-joins on (band, val) / vector id — nothing broadcast, no
+    all-pairs product. Cost is O(collisions), not O(N²).
+    """
+    if planes % bands != 0:
+        raise ValueError(f"planes={planes} not divisible by bands={bands}")
+    r = planes // bands
+    mask = (1 << r) - 1
+    sig = hyperplane_signature(df, id_col, vec_col, planes, dim=dim)
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("bucket"), b * r)
+            .bitwiseAND(F.lit(mask)).alias("val"),
+        )
+        for b in range(bands)
+    ])
+    bb = (
+        sig.select(F.col(id_col), F.explode(band_arr).alias("bv"))
+        .select(
+            F.col(id_col),
+            F.col("bv.band").alias("band"),
+            F.col("bv.val").alias("val"),
+        )
+    )
+    cand = (
+        bb.select(F.col(id_col).alias("id_a"), "band", "val")
+        .join(bb.select(F.col(id_col).alias("id_b"), "band", "val"),
+              ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    q = df.select(
+        F.col(id_col), quantize(F.col(vec_col)).alias("qv")
+    ).withColumn("n2", norm2_q(F.col("qv")))
+    qa = q.select(F.col(id_col).alias("id_a"), F.col("qv").alias("qa"),
+                  F.col("n2").alias("n2a"))
+    qb = q.select(F.col(id_col).alias("id_b"), F.col("qv").alias("qb"),
+                  F.col("n2").alias("n2b"))
+    return (
+        cand.join(qa, "id_a").join(qb, "id_b")
+        .withColumn("dot", dot_q(F.col("qa"), F.col("qb")))
+        .filter(
+            (F.col("dot") > 0)
+            & (4 * F.col("dot") * F.col("dot")
+               >= F.col("n2a") * F.col("n2b"))
+        )
+        .select("id_a", "id_b", "dot")
+    )
+
+
 def probe_masks(planes: int, radius: int) -> list[int]:
     """All XOR masks of popcount <= radius over ``planes`` bits (incl. 0:
     the exact bucket). sum_{r<=radius} C(planes, r) masks."""

@@ -2766,6 +2766,80 @@ QUERIES["range_join_views_1h"] = range_join_views_1h
 ORACLES["range_join_views_1h"] = ORACLE_RANGE_JOIN
 
 
+def dedup_embedding_neardup_lsh(spark, sf_dir):
+    """Embedding near-dup SCALE path (operators/similarity.py:
+    embedding_neardup_lsh): hyperplane-bit banding proposes candidate
+    pairs (8 bands × 2 bits over a 16-plane map-only signature), exact
+    int cosine ≥ 0.5 verifies — same predicate as the all-pairs
+    dedup_embedding_neardup baseline, O(collisions) instead of O(N²).
+    Shuffled equi-joins only; no broadcast of the corpus (plan-asserted
+    in tests/test_similarity.py)."""
+    from .operators.similarity import embedding_neardup_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_lsh(
+        e, planes=16, dim=64, bands=8
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_EMBED_NEARDUP_LSH = """
+WITH v AS (
+  SELECT vec_id, i::INT AS i,
+         floor(embedding[i::INT + 1]::DOUBLE * 10000 + 0.5)::BIGINT AS x
+  FROM embeddings CROSS JOIN range(64) r(i)
+),
+wt AS (
+  SELECT p::INT AS plane, i::INT AS i,
+         CASE WHEN ('0x'||substr(md5(p::INT::VARCHAR || ':' || i::INT::VARCHAR),1,15))::BIGINT & 1 = 1
+              THEN 1 ELSE -1 END AS w
+  FROM range(16) a(p) CROSS JOIN range(64) b(i)
+),
+proj AS (
+  SELECT vec_id, plane, sum(w * x) AS s
+  FROM v JOIN wt USING (i) GROUP BY 1, 2
+),
+sig AS (
+  SELECT vec_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << plane) ELSE 0 END)::BIGINT AS bucket
+  FROM proj GROUP BY 1
+),
+bands AS (
+  SELECT vec_id, b::INT AS band, (bucket >> (b::INT * 2)) & 3 AS val
+  FROM sig CROSS JOIN range(8) r(b)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val
+  WHERE a.vec_id < b.vec_id
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x::DOUBLE*10000 + 0.5)::BIGINT) AS qv
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, qv,
+         list_sum(list_transform(qv, x -> x * x))::BIGINT AS n2
+  FROM q
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2]))::BIGINT AS dot,
+         a.n2 AS n2a, b.n2 AS n2b
+  FROM cand c
+  JOIN n a ON a.vec_id = c.id_a
+  JOIN n b ON b.vec_id = c.id_b
+)
+SELECT id_a, id_b, dot
+FROM scored
+WHERE dot > 0 AND 4 * dot * dot >= n2a * n2b
+ORDER BY id_a, id_b
+"""
+
+QUERIES["dedup_embedding_neardup_lsh"] = dedup_embedding_neardup_lsh
+ORACLES["dedup_embedding_neardup_lsh"] = ORACLE_EMBED_NEARDUP_LSH
+
+
 # =====================================================================
 # Driver-correctness-window ordering.
 #

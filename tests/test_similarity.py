@@ -285,3 +285,52 @@ def test_hyperplane_signature_is_map_only(spark, emb):
     n = emb.count()
     assert sig.count() == n
     assert sig.select("bucket").distinct().count() > 1
+
+
+def test_embedding_neardup_lsh_scale_path(spark, emb):
+    """LSH-banded near-dup pairs: no broadcast hint, no cartesian
+    product, and every reported pair is a true >=0.5-cosine pair drawn
+    from the all-pairs baseline's result set (subset with high recall —
+    8 bands x 2 bits catches ~99% of threshold pairs)."""
+    from e_commerce_batch_etl_pipeline_spark.operators.similarity import (
+        dot_q,
+        embedding_neardup_lsh,
+        norm2_q,
+        quantize,
+    )
+    from e_commerce_batch_etl_pipeline_spark.plans import (
+        assert_no_broadcast_hint,
+    )
+
+    out = embedding_neardup_lsh(emb, planes=16, dim=64, bands=8)
+    assert_no_broadcast_hint(out)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+    got = {(r["id_a"], r["id_b"]): r["dot"] for r in out.collect()}
+
+    # all-pairs truth with the identical exact-int predicate
+    q = emb.select(
+        F.col("vec_id"), quantize(F.col("embedding")).alias("qv")
+    ).withColumn("n2", norm2_q(F.col("qv")))
+    a, b = q.alias("a"), q.alias("b")
+    truth = {
+        (r["id_a"], r["id_b"]): r["dot"]
+        for r in (
+            a.crossJoin(b)
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .withColumn("dot", dot_q(F.col("a.qv"), F.col("b.qv")))
+            .filter((F.col("dot") > 0)
+                    & (4 * F.col("dot") * F.col("dot")
+                       >= F.col("a.n2") * F.col("b.n2")))
+            .select(F.col("a.vec_id").alias("id_a"),
+                    F.col("b.vec_id").alias("id_b"), "dot")
+        ).collect()
+    }
+    assert set(got) <= set(truth)          # no false positives survive verify
+    for k in got:
+        assert got[k] == truth[k]          # identical exact dots
+    if truth:
+        recall = len(got) / len(truth)
+        assert recall >= 0.8, f"recall {recall}: {len(got)}/{len(truth)}"
