@@ -676,7 +676,10 @@ def _table_fixture(spark, sf_dir):
     v1 = table.current().version
     engine.run()  # epochs 2-3 → v2
     v2 = table.current().version
-    _TF_FIXTURE[key] = {"table": table, "v1": v1, "v2": v2}
+    _TF_FIXTURE[key] = {
+        "table": table, "v1": v1, "v2": v2,
+        "wal_root": wal_root, "seg": seg,
+    }
     return _TF_FIXTURE[key]
 
 
@@ -2838,6 +2841,119 @@ ORDER BY id_a, id_b
 
 QUERIES["dedup_embedding_neardup_lsh"] = dedup_embedding_neardup_lsh
 ORACLES["dedup_embedding_neardup_lsh"] = ORACLE_EMBED_NEARDUP_LSH
+
+
+def wal_datasource_scan(spark, sf_dir):
+    """The custom Python DataSource WAL reader
+    (sources/wal_datasource.py) driven through the public
+    ``spark.read.format("wal")`` surface with BOTH pushdowns live:
+    ``epoch > 1`` is consumed by the source (whole segment directories
+    never listed), ``lsn > wm`` prunes parquet row groups via footer
+    stats. Reads the same deterministic 4-epoch WAL the table-format
+    fixture lays down from the events table; the oracle re-derives the
+    envelopes and both predicates in SQL."""
+    from .sources.wal_datasource import WalDataSource
+
+    fx = _table_fixture(spark, sf_dir)
+    spark.dataSource.register(WalDataSource)
+    seg = fx["seg"]
+    wm = 2 * seg + seg // 2  # mid-epoch-2 watermark
+    df = (
+        spark.read.format("wal")
+        .option("root", fx["wal_root"])
+        .load()
+        .filter((F.col("epoch") > 1) & (F.col("lsn") > wm))
+    )
+    return df.select(
+        "lsn", "epoch", "op", "doc_id",
+        F.element_at("tokens", 1).alias("tok0"),
+        "source",
+    ).orderBy("lsn")
+
+
+ORACLE_WAL_SCAN = f"""
+WITH env AS ({_TF_ENV_SQL}),
+seg AS (SELECT (max(lsn) + 4) // 4 AS s FROM env),
+wal AS (
+  SELECT lsn, (lsn // (SELECT s FROM seg))::INT AS epoch, op, doc_id,
+         CASE WHEN op = 'D' THEN NULL
+              ELSE (lsn % 50257)::INT END AS tok0,
+         CASE WHEN op = 'D' THEN NULL ELSE source END AS source
+  FROM env
+)
+SELECT lsn, epoch, op, doc_id, tok0, source
+FROM wal
+WHERE epoch > 1 AND lsn > (SELECT 2 * s + s // 2 FROM seg)
+ORDER BY lsn
+"""
+
+QUERIES["wal_datasource_scan"] = wal_datasource_scan
+ORACLES["wal_datasource_scan"] = ORACLE_WAL_SCAN
+
+
+_SERVING_FIXTURE: dict = {}
+
+
+def serving_sink_roundtrip(spark, sf_dir):
+    """The serving sink + scan (sources/serving_sink.py — the
+    reference's JDBC load path, src/load.py:46-92) exercised through the
+    public DataFrame writer/reader: a curated per-customer aggregate is
+    written to the serving database via the Arrow-batched transactional
+    writer, then read BACK through ``spark.read.format("serving")`` with
+    a WHERE that pushes down into the database-side SQL. The oracle
+    computes the same aggregate + filter straight from orders — any
+    write-path row loss, type drift, or pushdown corruption mismatches."""
+    import tempfile
+
+    from .sources.serving_sink import ServingSinkDataSource
+
+    spark.dataSource.register(ServingSinkDataSource)
+    key = os.path.abspath(sf_dir)
+    if key not in _SERVING_FIXTURE:
+        o = _t(spark, sf_dir, "orders")
+        curated = (
+            o.groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                ).alias("total_cents"),
+            )
+        )
+        db = os.path.join(
+            tempfile.mkdtemp(prefix="serving_fx_"), "serve.duckdb"
+        )
+        (
+            curated.write.format("serving")
+            .option("path", db).option("table", "curated")
+            .option("batchsize", "5000")
+            .mode("overwrite").save()
+        )
+        _SERVING_FIXTURE[key] = db
+    db = _SERVING_FIXTURE[key]
+    back = (
+        spark.read.format("serving")
+        .option("path", db).option("table", "curated")
+        .load()
+        .filter(F.col("total_cents") > 50_000_000)  # DB-side WHERE
+    )
+    return back.select("custkey", "n_orders", "total_cents").orderBy(
+        "custkey"
+    )
+
+
+ORACLE_SERVING_ROUNDTRIP = """
+SELECT o_custkey AS custkey,
+       count(*)::BIGINT AS n_orders,
+       sum(round(o_totalprice * 100, 0)::BIGINT)::BIGINT AS total_cents
+FROM orders
+GROUP BY 1
+HAVING sum(round(o_totalprice * 100, 0)::BIGINT)::BIGINT > 50000000
+ORDER BY custkey
+"""
+
+QUERIES["serving_sink_roundtrip"] = serving_sink_roundtrip
+ORACLES["serving_sink_roundtrip"] = ORACLE_SERVING_ROUNDTRIP
 
 
 # =====================================================================
