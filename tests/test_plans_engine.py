@@ -101,3 +101,54 @@ def test_headline_query_plans(spark):
         df = q(spark, sf)
         allow_arrow = name in ("multimodal_meta", "text_zscore_by_source")
         assert_no_python_row_udf(df, allow_arrow=allow_arrow)
+
+
+def test_mor_single_bucket_read_scans_only_that_bucket(spark, tmp_path):
+    """The serving-read plan under merge-on-read: reading ONE bucket of
+    a table with pending delta files must scan only that bucket's base +
+    delta files (no full-table FileScan) and contain no BatchEvalPython —
+    locking the MOR read path the way the merge plan already is."""
+    from e_commerce_batch_etl_pipeline_spark.sources.datagen import write_wal
+    from e_commerce_batch_etl_pipeline_spark.sources.wal import WalSource
+    from e_commerce_batch_etl_pipeline_spark.streaming.microbatch import (
+        CdcEngine,
+    )
+
+    root = str(tmp_path)
+    base = generate_base_docs(spark, 400, seed=7, max_len=16)
+    table = bootstrap_table(os.path.join(root, "t"), base, num_buckets=4)
+    write_wal(spark, os.path.join(root, "wal"), 3, 200, 400, seed=7,
+              max_len=16)
+    eng = CdcEngine(
+        spark, table, WalSource(os.path.join(root, "wal")),
+        os.path.join(root, "ckpt"), merge_mode="mor",
+        mor_compact_files=None,  # deferred compaction → deltas persist
+    )
+    eng.run()
+    snap = table.current()
+    assert any(f.get("kind") == "delta" for f in snap.files), \
+        "setup must leave pending delta files"
+
+    target_bucket = sorted(
+        {f["bucket"] for f in snap.files if f.get("kind") == "delta"}
+    )[0]
+    df = table.read(spark, buckets=[target_bucket])
+    assert_no_python_row_udf(df)
+
+    allowed = {
+        os.path.realpath(os.path.join(table.root, f["path"]))
+        for f in snap.files if f["bucket"] == target_bucket
+    }
+    scanned = {
+        os.path.realpath(p.removeprefix("file:")) for p in df.inputFiles()
+    }
+    assert scanned, "plan reads no files?"
+    assert scanned <= allowed, scanned - allowed
+    # and the merge actually resolves: row count equals the bucket's
+    # distinct live keys (LWW winner per key, deletes dropped)
+    full = table.read(spark)
+    from e_commerce_batch_etl_pipeline_spark.tables.format import bucket_expr
+    expected = full.filter(
+        bucket_expr(snap.key_column, snap.num_buckets) == target_bucket
+    ).count()
+    assert df.count() == expected
