@@ -37,11 +37,21 @@ def main() -> None:
                     help="bucket count (1024+ exercises the distributed "
                          "per-bucket stats job instead of driver footer "
                          "reads)")
+    ap.add_argument("--base-n", type=int, default=None,
+                    help="base docs (default 5M/scale-div)")
+    ap.add_argument("--per-epoch", type=int, default=None,
+                    help="events per epoch (default 5M/scale-div)")
+    ap.add_argument("--epochs", type=int, default=11)
+    ap.add_argument("--max-len", type=int, default=96)
+    ap.add_argument("--read-back-every", type=int, default=1,
+                    help="full read-back count every N epochs (the "
+                         "read is O(table) — at 10M+ rows per-epoch "
+                         "read-backs dominate wall clock, not ingest)")
     args = ap.parse_args()
 
-    base_n = 5_000_000 // args.scale_div
-    per_epoch = 5_000_000 // args.scale_div
-    epochs = 11
+    base_n = args.base_n or 5_000_000 // args.scale_div
+    per_epoch = args.per_epoch or 5_000_000 // args.scale_div
+    epochs = args.epochs
     buckets = args.buckets
 
     spark = build_session(master=f"local[{args.cores}]",
@@ -62,12 +72,13 @@ def main() -> None:
     root = tempfile.mkdtemp(prefix="soak_mor_")
     try:
         t0 = time.time()
-        base = generate_base_docs(spark, base_n, seed=7, max_len=96)
+        base = generate_base_docs(spark, base_n, seed=7,
+                                  max_len=args.max_len)
         base.write.mode("overwrite").parquet(f"{root}/base")
         write_wal(
             spark, f"{root}/wal", epochs, per_epoch, base_n, seed=7,
-            max_len=96, num_hot_keys=3, hot_key_frac=0.20,
-            evolve_from_epoch=6,
+            max_len=args.max_len, num_hot_keys=3, hot_key_frac=0.20,
+            evolve_from_epoch=min(6, max(1, epochs // 2)),
         )
         print(json.dumps({"stage": "datagen", "sec": round(time.time() - t0, 1),
                           "events": epochs * per_epoch}), flush=True)
@@ -124,9 +135,12 @@ while True:
             deltas = sum(
                 1 for f in snap.files if f.get("kind", "base") == "delta"
             )
-            tr0 = time.time()
-            n_rows = table.read(spark).count()
-            read_sec = time.time() - tr0
+            read_sec = None
+            n_rows = None
+            if e % args.read_back_every == 0 or e == epochs - 1:
+                tr0 = time.time()
+                n_rows = table.read(spark).count()
+                read_sec = round(time.time() - tr0, 2)
             rate = (r.rows_applied / r.duration_sec) if r.duration_sec else 0
             if e > 0:  # epoch 0 = warm-up, excluded from the sustained rate
                 timed_events += r.rows_applied
@@ -137,7 +151,7 @@ while True:
                 "events_per_sec": round(rate),
                 "pending_delta_files": deltas,
                 "table_version": snap.version,
-                "read_back_sec": round(read_sec, 2),
+                "read_back_sec": read_sec,
                 "table_rows": n_rows,
             }), flush=True)
 
