@@ -133,7 +133,8 @@ def hyperplane_signature(df: DataFrame, id_col: str = "vec_id",
 def embedding_neardup_lsh(df: DataFrame, id_col: str = "vec_id",
                           vec_col: str = "embedding", planes: int = 16,
                           dim: int | None = None,
-                          bands: int = 8) -> DataFrame:
+                          bands: int = 8,
+                          thr_num: int = 49, thr_den: int = 400) -> DataFrame:
     """Embedding near-duplicate pairs, LSH-bucketed — the SCALE path
     (the all-pairs crossJoin sibling in queries.py is the labeled
     exactness baseline).
@@ -141,12 +142,16 @@ def embedding_neardup_lsh(df: DataFrame, id_col: str = "vec_id",
     Candidate generation is hyperplane-bit BANDING, the bit-sampling
     analog of MinHash-LSH banding: the ``planes``-bit signature splits
     into ``bands`` bands of planes/bands bits; a pair is a candidate iff
-    it agrees on ALL bits of at least one band. For a cosine-0.5 pair
-    (bit-disagree probability θ/π = 1/3), 8 bands × 2 bits catch ≥ 99%
-    of pairs while same-bucket-only (16 exact bits) catches ~15%.
-    Candidates are then verified with the SAME exact-integer cosine
-    predicate as the baseline (dot > 0 AND 4·dot² ≥ n2a·n2b ⇔ cos ≥ 0.5
-    — no float compare at the boundary).
+    it agrees on ALL bits of at least one band. Candidates are then
+    verified with the SAME exact-integer cosine predicate as the
+    all-pairs baseline: dot > 0 AND thr_den·dot² ≥ thr_num·n2a·n2b
+    ⇔ cos ≥ sqrt(thr_num/thr_den) — no float compare at the boundary.
+    Defaults: (49, 400) = cos ≥ 0.35 (bit-agree probability
+    1 - acos(0.35)/π ≈ 0.61 ⇒ 8 bands × 2 bits recall ≈ 0.98); for a
+    true near-duplicate corpus (cos ≥ 0.9, bit-agree ≈ 0.86) widen the
+    bands — e.g. planes=64, bands=8 (8-bit bands: recall ≈ 0.93 with a
+    random-pair collision rate ≈ 3%). Keep thr_num/thr_den a reduced
+    fraction: the guard below bounds thr_den·dot² against int64.
 
     Scale shape: signature build is map-only (zero exchanges); banding
     inflates ×bands (≈8), not ×dim; everything downstream is shuffled
@@ -194,8 +199,8 @@ def embedding_neardup_lsh(df: DataFrame, id_col: str = "vec_id",
         .withColumn("dot", dot_q(F.col("qa"), F.col("qb")))
         .filter(
             (F.col("dot") > 0)
-            & (4 * F.col("dot") * F.col("dot")
-               >= F.col("n2a") * F.col("n2b"))
+            & (thr_den * F.col("dot") * F.col("dot")
+               >= thr_num * F.col("n2a") * F.col("n2b"))
         )
         .select("id_a", "id_b", "dot")
     )

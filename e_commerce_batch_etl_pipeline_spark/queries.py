@@ -1551,10 +1551,12 @@ FROM t ORDER BY doc_id
 
 
 def dedup_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs: all pairs with cosine above
-    a threshold, exact int64 arithmetic (threshold compare done on
-    dot^2 * 10^8 vs thr^2 * n2a * n2b — fully integer, no float compare
-    at the boundary)."""
+    """Embedding-cosine near-duplicate pairs: all pairs with cosine >=
+    0.35, exact int64 arithmetic (threshold compare done on
+    400*dot^2 vs 49*n2a*n2b — fully integer, no float compare at the
+    boundary). Threshold chosen below the synthetic corpus's max pair
+    cosine (~0.48) so the result is NON-vacuous at every test scale — a
+    0.5 threshold hash-matched trivially on empty output."""
     from .operators.similarity import dot_q, norm2_q, quantize
 
     e = _t(spark, sf_dir, "embeddings")
@@ -1567,11 +1569,11 @@ def dedup_embedding_neardup(spark, sf_dir):
         a.crossJoin(b)
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .withColumn("dot", dot_q(F.col("a.qv"), F.col("b.qv")))
-        # cosine >= 0.5  ⇔  dot >= 0 AND 4*dot^2 >= n2a*n2b (exact ints)
+        # cos >= 0.35 ⇔ dot > 0 AND 400*dot^2 >= 49*n2a*n2b (exact ints)
         .filter(
             (F.col("dot") > 0)
-            & (4 * F.col("dot") * F.col("dot")
-               >= F.col("a.n2") * F.col("b.n2"))
+            & (400 * F.col("dot") * F.col("dot")
+               >= 49 * F.col("a.n2") * F.col("b.n2"))
         )
         .select(
             F.col("a.vec_id").alias("id_a"),
@@ -1599,9 +1601,9 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM n a CROSS JOIN n b
 WHERE a.vec_id < b.vec_id
   AND list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2]))::BIGINT > 0
-  AND 4 * list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2]))::BIGINT
+  AND 400 * list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2]))::BIGINT
         * list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2]))::BIGINT
-      >= a.n2 * b.n2
+      >= 49 * a.n2 * b.n2
 ORDER BY id_a, id_b
 """
 
@@ -2773,7 +2775,7 @@ def dedup_embedding_neardup_lsh(spark, sf_dir):
     """Embedding near-dup SCALE path (operators/similarity.py:
     embedding_neardup_lsh): hyperplane-bit banding proposes candidate
     pairs (8 bands × 2 bits over a 16-plane map-only signature), exact
-    int cosine ≥ 0.5 verifies — same predicate as the all-pairs
+    int cosine ≥ 0.35 verifies — same predicate as the all-pairs
     dedup_embedding_neardup baseline, O(collisions) instead of O(N²).
     Shuffled equi-joins only; no broadcast of the corpus (plan-asserted
     in tests/test_similarity.py)."""
@@ -2835,7 +2837,7 @@ scored AS (
 )
 SELECT id_a, id_b, dot
 FROM scored
-WHERE dot > 0 AND 4 * dot * dot >= n2a * n2b
+WHERE dot > 0 AND 400 * dot * dot >= 49 * n2a * n2b
 ORDER BY id_a, id_b
 """
 

@@ -289,9 +289,12 @@ def test_hyperplane_signature_is_map_only(spark, emb):
 
 def test_embedding_neardup_lsh_scale_path(spark, emb):
     """LSH-banded near-dup pairs: no broadcast hint, no cartesian
-    product, and every reported pair is a true >=0.5-cosine pair drawn
+    product, and every reported pair is a true >=0.35-cosine pair drawn
     from the all-pairs baseline's result set (subset with high recall —
-    8 bands x 2 bits catches ~99% of threshold pairs)."""
+    8 bands x 2 bits catches ~98% of threshold pairs). The threshold
+    sits below the corpus's max pair cosine, so the truth set is
+    REQUIRED to be non-empty — a vacuous (0-row) parity is no
+    evidence."""
     from e_commerce_batch_etl_pipeline_spark.operators.similarity import (
         dot_q,
         embedding_neardup_lsh,
@@ -322,15 +325,15 @@ def test_embedding_neardup_lsh_scale_path(spark, emb):
             .filter(F.col("a.vec_id") < F.col("b.vec_id"))
             .withColumn("dot", dot_q(F.col("a.qv"), F.col("b.qv")))
             .filter((F.col("dot") > 0)
-                    & (4 * F.col("dot") * F.col("dot")
-                       >= F.col("a.n2") * F.col("b.n2")))
+                    & (400 * F.col("dot") * F.col("dot")
+                       >= 49 * F.col("a.n2") * F.col("b.n2")))
             .select(F.col("a.vec_id").alias("id_a"),
                     F.col("b.vec_id").alias("id_b"), "dot")
         ).collect()
     }
+    assert truth, "threshold too high for the corpus — vacuous test"
     assert set(got) <= set(truth)          # no false positives survive verify
     for k in got:
         assert got[k] == truth[k]          # identical exact dots
-    if truth:
-        recall = len(got) / len(truth)
-        assert recall >= 0.8, f"recall {recall}: {len(got)}/{len(truth)}"
+    recall = len(got) / len(truth)
+    assert recall >= 0.8, f"recall {recall}: {len(got)}/{len(truth)}"
