@@ -110,6 +110,11 @@ def hyperplane_signature(df: DataFrame, id_col: str = "vec_id",
 
     Pass ``dim`` when known (callers usually know it) — the fallback
     ``first()`` probe costs a driver-side job per invocation."""
+    if not 1 <= planes <= 63:
+        # the bucket is ONE signed int64; bit 63 would need 1<<63 which
+        # overflows (and makes arithmetic shiftright sign-extend in the
+        # band extraction). >63 planes ⇒ use multiple signature columns.
+        raise ValueError(f"planes must be in [1, 63], got {planes}")
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     weights = _plane_weights(planes, dim)
@@ -151,7 +156,9 @@ def embedding_neardup_lsh(df: DataFrame, id_col: str = "vec_id",
     true near-duplicate corpus (cos ≥ 0.9, bit-agree ≈ 0.86) widen the
     bands — e.g. planes=64, bands=8 (8-bit bands: recall ≈ 0.93 with a
     random-pair collision rate ≈ 3%). Keep thr_num/thr_den a reduced
-    fraction: the guard below bounds thr_den·dot² against int64.
+    fraction, and note the int64 domain: thr_den·dot² must fit — with
+    QUANT=10000 that means roughly unit-norm embeddings (n2 ≈ 1e8 ⇒
+    dot² ≤ 1e16); scale raw vectors down first if their norm is large.
 
     Scale shape: signature build is map-only (zero exchanges); banding
     inflates ×bands (≈8), not ×dim; everything downstream is shuffled

@@ -337,3 +337,83 @@ def test_embedding_neardup_lsh_scale_path(spark, emb):
         assert got[k] == truth[k]          # identical exact dots
     recall = len(got) / len(truth)
     assert recall >= 0.8, f"recall {recall}: {len(got)}/{len(truth)}"
+
+
+def test_embedding_neardup_lsh_wide_bands_selective(spark):
+    """The 100 TB configuration claim (docstring of
+    embedding_neardup_lsh): for a TRUE near-duplicate corpus
+    (cos >= 0.9 pairs), planes=56 / 7-bit bands must be SELECTIVE —
+    candidate set a small fraction of all pairs — while still
+    recovering the planted duplicates. (The default 16/2-bit config
+    trades selectivity for recall at the low 0.35 threshold; this test
+    pins the wide config's behavior so the scale story is measured,
+    not asserted.)"""
+    import math
+
+    from e_commerce_batch_etl_pipeline_spark.operators.similarity import (
+        embedding_neardup_lsh,
+    )
+
+    # deterministic synthetic corpus: 160 well-spread base vectors
+    # (md5-derived pseudo-random coords), plus 40 planted near-dups
+    # (small deterministic perturbation of base i -> cos ~ 0.99)
+    import hashlib
+
+    def coords(tag, i, dim=64):
+        out = []
+        for j in range(dim):
+            h = int(hashlib.md5(f"{tag}:{i}:{j}".encode()).hexdigest()[:8], 16)
+            # keep |x| <= 0.125 so thr_den*dot^2 stays inside int64
+            out.append((h % 2001 - 1000) / 8000.0)
+        return out
+
+    rows = []
+    for i in range(160):
+        rows.append((i, coords("base", i)))
+    for i in range(40):
+        base = coords("base", i)
+        pert = coords("pert", i)
+        rows.append((1000 + i, [b + 0.08 * p for b, p in zip(base, pert)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = embedding_neardup_lsh(
+        emb, planes=56, dim=64, bands=8, thr_num=81, thr_den=100
+    )  # cos >= 0.9
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    planted = {(i, 1000 + i) for i in range(40)}
+    # selective: the verified output is dominated by planted dups …
+    assert got <= planted | {(a, b) for a in range(160) for b in range(160)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.8, f"recall {recall}"
+
+    # … and the CANDIDATE stage (before verify) is a small fraction of
+    # all pairs: re-derive candidates only
+    from e_commerce_batch_etl_pipeline_spark.operators.similarity import (
+        hyperplane_signature,
+    )
+    from pyspark.sql import functions as F
+
+    sig = hyperplane_signature(emb, planes=56, dim=64)
+    r = 7
+    mask = (1 << r) - 1
+    band_arr = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright(F.col("bucket"), b * r)
+                 .bitwiseAND(F.lit(mask)).alias("val"))
+        for b in range(8)
+    ])
+    bb = sig.select("vec_id", F.explode(band_arr).alias("bv")).select(
+        "vec_id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
+    n_cand = (
+        bb.select(F.col("vec_id").alias("id_a"), "band", "val")
+        .join(bb.select(F.col("vec_id").alias("id_b"), "band", "val"),
+              ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct().count()
+    )
+    n = emb.count()
+    all_pairs = n * (n - 1) // 2
+    assert n_cand < 0.25 * all_pairs, (
+        f"wide-band candidates not selective: {n_cand}/{all_pairs}"
+    )
