@@ -105,6 +105,11 @@ def main(argv: list[str] | None = None) -> int:
     m = sub.add_parser("maintain")
     m.add_argument("--table", required=True)
     m.add_argument("--max-files-per-bucket", type=int, default=4)
+    m.add_argument("--max-buckets-per-pass", type=int, default=None,
+                   help="bound one compaction pass to the N most-"
+                        "fragmented buckets (partial-progress shape: "
+                        "keeps background folds landing under "
+                        "continuous ingest at large bucket counts)")
     m.add_argument("--keep-snapshots", type=int, default=10)
     m.add_argument("--gc", action="store_true",
                    help="also delete orphaned data files")
@@ -331,7 +336,8 @@ def main(argv: list[str] | None = None) -> int:
 
             rebucket(table, spark, args.rebucket)
         snap = compact(table, spark,
-                       max_files_per_bucket=args.max_files_per_bucket)
+                       max_files_per_bucket=args.max_files_per_bucket,
+                       max_buckets_per_pass=args.max_buckets_per_pass)
         dropped = expire_snapshots(table, keep_last=args.keep_snapshots)
         removed = (
             remove_orphans(table, min_age_sec=args.gc_min_age_sec)

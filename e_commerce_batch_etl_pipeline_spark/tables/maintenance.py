@@ -29,22 +29,38 @@ def compact(
     table: LakeTable,
     spark: SparkSession,
     max_files_per_bucket: int = 1,
+    max_buckets_per_pass: int | None = None,
 ) -> Snapshot | None:
     """Rewrite over-fragmented buckets; returns the new snapshot or None.
 
     At 100 TB this runs per-bucket-group as a background job; the commit
     is the same atomic pointer swap as an ingest epoch, so compaction and
     ingest serialize through the single-writer snapshot log.
+
+    ``max_buckets_per_pass`` bounds ONE pass to the N most-fragmented
+    buckets (Iceberg rewrite_data_files partial-progress shape). This is
+    what keeps background compaction LANDING under continuous ingest at
+    large bucket counts: an unbounded pass over a growing backlog gets
+    slower every epoch (it reads every fragmented bucket) until its
+    runtime exceeds the epoch interval and the backlog only ever grows —
+    measured in the round-4 200M-event soak, where full passes stopped
+    landing at ~6 deltas/bucket × 1024 buckets and the MOR read-back's
+    LWW sort over the ~3× amplified input spilled past the disk. Chunked
+    passes each fold in seconds, commit between epochs, and drain the
+    most fragmented buckets first.
     """
     snap = table.current()
     per_bucket: dict[int, int] = {}
     for f in snap.files:
         per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
     frag = sorted(
-        b for b, n in per_bucket.items() if n > max_files_per_bucket
+        (b for b, n in per_bucket.items() if n > max_files_per_bucket),
+        key=lambda b: (-per_bucket[b], b),  # most fragmented first
     )
     if not frag:
         return None
+    if max_buckets_per_pass is not None:
+        frag = sorted(frag[:max_buckets_per_pass])
     # fold exactly the files the fragmentation scan saw (read pinned to
     # `snap`): the LWW-resolved content of those base+delta files becomes
     # the new base. Publishing uses FILE-level replacement (Iceberg

@@ -43,6 +43,11 @@ def main() -> None:
                     help="events per epoch (default 5M/scale-div)")
     ap.add_argument("--epochs", type=int, default=11)
     ap.add_argument("--max-len", type=int, default=96)
+    ap.add_argument("--compact-buckets-per-pass", type=int, default=128,
+                    help="partial-progress chunk for the background "
+                         "fold (unbounded passes stop landing once the "
+                         "backlog outgrows the epoch interval — the "
+                         "round-4 200M-soak failure mode)")
     ap.add_argument("--read-back-every", type=int, default=1,
                     help="full read-back count every N epochs (the "
                          "read is O(table) — at 10M+ rows per-epoch "
@@ -115,7 +120,8 @@ t = LakeTable({(root + "/table")!r})
 import json as _json
 while True:
     try:
-        snap = compact(t, spark, max_files_per_bucket={args.compact_files})
+        snap = compact(t, spark, max_files_per_bucket={args.compact_files},
+                       max_buckets_per_pass={args.compact_buckets_per_pass})
         if snap is not None:
             print(_json.dumps({{"bg_compacted_to_version": snap.version}}),
                   flush=True)
@@ -145,6 +151,7 @@ while True:
             if e > 0:  # epoch 0 = warm-up, excluded from the sustained rate
                 timed_events += r.rows_applied
                 timed_sec += r.duration_sec
+            st = os.statvfs(root)
             print(json.dumps({
                 "epoch": e, "rows_applied": r.rows_applied,
                 "sec": round(r.duration_sec, 1),
@@ -153,6 +160,7 @@ while True:
                 "table_version": snap.version,
                 "read_back_sec": read_sec,
                 "table_rows": n_rows,
+                "disk_free_gb": round(st.f_bavail * st.f_frsize / 2**30, 1),
             }), flush=True)
 
         if maint is not None:

@@ -467,3 +467,44 @@ spark.stop()
         for r in table.read(spark).collect()
     }
     assert_states_equal(expected, actual)
+
+
+def test_compact_partial_progress_chunks(spark, tmpdir_clean):
+    """max_buckets_per_pass bounds one pass to the N most-fragmented
+    buckets (the partial-progress shape that keeps background folds
+    landing under continuous ingest — the round-4 200M-soak failure
+    mode was unbounded passes that stopped landing). Repeated chunked
+    passes drain the backlog completely; state preserved throughout."""
+    base = generate_base_docs(spark, 400, seed=13, max_len=8)
+    table = bootstrap_table(
+        os.path.join(tmpdir_clean, "t"), base, num_buckets=4
+    )
+    write_wal(spark, os.path.join(tmpdir_clean, "wal"), 3, 300, 400,
+              seed=13, max_len=8)
+    CdcEngine(
+        spark, table, WalSource(os.path.join(tmpdir_clean, "wal")),
+        os.path.join(tmpdir_clean, "ckpt"),
+        merge_mode="mor", mor_compact_files=None,
+    ).run()
+    before = _state(spark, table)
+
+    def frag_buckets():
+        per = {}
+        for f in table.current().files:
+            per[f["bucket"]] = per.get(f["bucket"], 0) + 1
+        return {b for b, n in per.items() if n > 1}
+
+    backlog0 = frag_buckets()
+    assert len(backlog0) == 4, "fixture must fragment every bucket"
+    passes = 0
+    while True:
+        snap = compact(table, spark, max_files_per_bucket=1,
+                       max_buckets_per_pass=1)
+        if snap is None:
+            break
+        passes += 1
+        assert snap.props["buckets"] == 1  # one bucket per pass
+        assert passes <= 4, "chunked passes failed to drain"
+    assert passes == 4
+    assert frag_buckets() == set()
+    assert _state(spark, table) == before
