@@ -72,7 +72,10 @@ def main() -> None:
     from e_commerce_batch_etl_pipeline_spark.streaming.microbatch import (
         CdcEngine,
     )
-    from e_commerce_batch_etl_pipeline_spark.tables.maintenance import verify
+    from e_commerce_batch_etl_pipeline_spark.tables.maintenance import (
+        compact,
+        verify,
+    )
 
     root = tempfile.mkdtemp(prefix="soak_mor_")
     try:
@@ -129,43 +132,81 @@ while True:
         pass
     time.sleep(5)
 """
+            # stderr kept (round-4 lesson: DEVNULL hid the folder's own
+            # death; its progress noise is worth the postmortem)
             maint = subprocess.Popen(
                 [sys.executable, "-c", maint_script],
-                stdout=sys.stderr, stderr=subprocess.DEVNULL,
+                stdout=sys.stderr, stderr=sys.stderr,
             )
         timed_events = 0
         timed_sec = 0.0
-        for e in range(epochs):
-            r = eng.run(max_epochs=1)[0]
-            snap = table.current()
-            deltas = sum(
-                1 for f in snap.files if f.get("kind", "base") == "delta"
-            )
-            read_sec = None
-            n_rows = None
-            if e % args.read_back_every == 0 or e == epochs - 1:
-                tr0 = time.time()
-                n_rows = table.read(spark).count()
-                read_sec = round(time.time() - tr0, 2)
-            rate = (r.rows_applied / r.duration_sec) if r.duration_sec else 0
-            if e > 0:  # epoch 0 = warm-up, excluded from the sustained rate
-                timed_events += r.rows_applied
-                timed_sec += r.duration_sec
+        try:
+            for e in range(epochs):
+                r = eng.run(max_epochs=1)[0]
+                snap = table.current()
+                deltas = sum(
+                    1 for f in snap.files if f.get("kind", "base") == "delta"
+                )
+                read_sec = None
+                n_rows = None
+                if e % args.read_back_every == 0 or e == epochs - 1:
+                    tr0 = time.time()
+                    n_rows = table.read(spark).count()
+                    read_sec = round(time.time() - tr0, 2)
+                rate = (r.rows_applied / r.duration_sec) if r.duration_sec else 0
+                if e > 0:  # epoch 0 = warm-up, excluded from sustained rate
+                    timed_events += r.rows_applied
+                    timed_sec += r.duration_sec
+                st = os.statvfs(root)
+                print(json.dumps({
+                    "epoch": e, "rows_applied": r.rows_applied,
+                    "sec": round(r.duration_sec, 1),
+                    "events_per_sec": round(rate),
+                    "pending_delta_files": deltas,
+                    "table_version": snap.version,
+                    "read_back_sec": read_sec,
+                    "table_rows": n_rows,
+                    "disk_free_gb": round(st.f_bavail * st.f_frsize / 2**30, 1),
+                }), flush=True)
+        finally:
+            # round-4 lesson: a crashed epoch loop used to leak the
+            # background folder (skipped terminate), which kept a live
+            # Spark session competing for the machine
+            if maint is not None:
+                maint.terminate()
+                maint.wait(timeout=30)
+
+        if args.defer_compaction:
+            # DRAIN: catch-up compaction with the full machine before the
+            # final verify read. On shared cores a background folder can
+            # never match ingest bandwidth (folds rewrite base+delta rows
+            # while ingest only appends deltas) — the backlog is bounded
+            # during ingest by chunked passes and cleared here, exactly
+            # how a cluster would schedule a compaction wave before
+            # serving reads. Without this the final read's LWW sort over
+            # epochs×epoch_size delta rows spills past any local disk.
+            t0 = time.time()
+            folds = 0
+            while True:
+                snap = compact(
+                    table, spark,
+                    max_files_per_bucket=args.compact_files,
+                    max_buckets_per_pass=args.compact_buckets_per_pass,
+                )
+                if snap is None:
+                    break
+                folds += 1
             st = os.statvfs(root)
             print(json.dumps({
-                "epoch": e, "rows_applied": r.rows_applied,
-                "sec": round(r.duration_sec, 1),
-                "events_per_sec": round(rate),
-                "pending_delta_files": deltas,
-                "table_version": snap.version,
-                "read_back_sec": read_sec,
-                "table_rows": n_rows,
+                "stage": "drain", "fold_passes": folds,
+                "sec": round(time.time() - t0, 1),
+                "pending_delta_files": sum(
+                    1 for f in table.current().files
+                    if f.get("kind", "base") == "delta"
+                ),
                 "disk_free_gb": round(st.f_bavail * st.f_frsize / 2**30, 1),
             }), flush=True)
 
-        if maint is not None:
-            maint.terminate()
-            maint.wait(timeout=30)
         rep = verify(table, spark)
         print(json.dumps({
             "stage": "summary",
