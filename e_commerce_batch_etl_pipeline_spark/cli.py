@@ -15,6 +15,8 @@ Subcommands:
                  from the change feed (O(changes) per refresh)
     lookup     — bucket-routed point read (serving path, time-travelable)
     status     — metadata-only table/ops probe (no Spark session)
+    verify     — write-verify read-back (K4): manifest + invariants;
+                 exit 3 on failure
     maintain   — compaction / snapshot expiry / orphan GC / rebucket
 """
 
@@ -101,6 +103,9 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--checkpoint", default=None,
                     help="include the tail of this checkpoint's "
                          "run_history.jsonl")
+
+    vf = sub.add_parser("verify")
+    vf.add_argument("--table", required=True)
 
     m = sub.add_parser("maintain")
     m.add_argument("--table", required=True)
@@ -322,6 +327,17 @@ def main(argv: list[str] | None = None) -> int:
                     for r in found
                 ],
             }))
+    elif args.cmd == "verify":
+        # write-verify read-back (reference K4,
+        # notebooks/04_write_parquet.py:119-139): manifest files on
+        # disk + invariants (key uniqueness, n_tok == size(tokens));
+        # exit 3 on failure so cron/orchestrators can gate on it
+        from .tables.format import LakeTable
+        from .tables.maintenance import verify as _verify
+
+        rep = _verify(LakeTable(args.table), spark)
+        print(json.dumps(rep))
+        return 0 if rep["ok"] else 3
     elif args.cmd == "maintain":
         from .tables.format import LakeTable
         from .tables.maintenance import (

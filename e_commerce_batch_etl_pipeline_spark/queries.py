@@ -2958,6 +2958,73 @@ QUERIES["serving_sink_roundtrip"] = serving_sink_roundtrip
 ORACLES["serving_sink_roundtrip"] = ORACLE_SERVING_ROUNDTRIP
 
 
+_CSV_FIXTURE: dict = {}
+
+
+def csv_scan_agg(spark, sf_dir):
+    """S1 CSV scan made oracle-checkable (sources/readers.py:22 —
+    reference src/extract.py:40-69 semantics): the events table is
+    exported to CSV once per process, ONE malformed line is injected by
+    hand, and the files are re-read with a pinned schema in
+    DROPMALFORMED mode, then aggregated. The oracle computes the same
+    aggregate from the parquet events table — equality proves the CSV
+    round-trip is lossless (values pre-quantized to integer cents) AND
+    the malformed row was dropped, not silently nulled in."""
+    import glob as _glob
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .sources.readers import read_csv
+
+    key = os.path.abspath(sf_dir)
+    if key not in _CSV_FIXTURE:
+        d = tempfile.mkdtemp(prefix="csv_fx_")
+        path = os.path.join(d, "events_csv")
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        (ev.coalesce(2).write.mode("overwrite")
+         .option("header", "true").csv(path))
+        part = sorted(_glob.glob(os.path.join(path, "part-*.csv")))[0]
+        with open(part, "a") as f:
+            f.write("oops,phantom_type,not_a_number\n")
+        # the append invalidates Hadoop's sidecar checksum — drop it or
+        # the re-read fails with ChecksumException instead of parsing
+        crc = os.path.join(
+            os.path.dirname(part), f".{os.path.basename(part)}.crc"
+        )
+        if os.path.exists(crc):
+            os.remove(crc)
+        _CSV_FIXTURE[key] = path
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("cents", T.LongType()),
+    ])
+    df = read_csv(spark, _CSV_FIXTURE[key], schema, mode="DROPMALFORMED")
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_CSV_SCAN = """
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(round(value * 100, 0)::BIGINT)::BIGINT AS total_cents
+FROM events GROUP BY 1 ORDER BY event_type
+"""
+
+QUERIES["csv_scan_agg"] = csv_scan_agg
+ORACLES["csv_scan_agg"] = ORACLE_CSV_SCAN
+
+
 # =====================================================================
 # Driver-correctness-window ordering.
 #

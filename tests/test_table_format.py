@@ -466,3 +466,25 @@ def test_cli_status_metadata_only(table, capsys):
     assert out["num_buckets"] == snap.num_buckets
     assert out["live_files"] == len(snap.files)
     assert out["columns"] == snap.schema.names()
+
+
+def test_cli_verify_subcommand(spark, table, capsys):
+    """`verify` CLI (K4 as an ops surface): ok/rc 0 on a healthy table;
+    a missing data file flips ok=false with exit code 3 so orchestrators
+    can gate on it."""
+    import json as _json
+
+    from e_commerce_batch_etl_pipeline_spark.cli import main
+
+    rc = main(["verify", "--table", table.root])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["ok"] is True
+    assert out["rows"] == out["distinct_keys"] == 500
+
+    victim = table.current().files[0]["path"]
+    os.rename(os.path.join(table.root, victim),
+              os.path.join(table.root, victim + ".gone"))
+    rc = main(["verify", "--table", table.root])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 3 and out["ok"] is False
+    assert victim in out["missing_files"]
