@@ -2958,6 +2958,79 @@ QUERIES["serving_sink_roundtrip"] = serving_sink_roundtrip
 ORACLES["serving_sink_roundtrip"] = ORACLE_SERVING_ROUNDTRIP
 
 
+_STREAM_FIXTURE: dict = {}
+
+
+def streaming_stateful_compact(spark, sf_dir):
+    """ST3 made oracle-checkable: the applyInPandasWithState change
+    compactor (streaming/stateful.py — per-key cross-batch LWW state,
+    emits only when state advances) run over the fixture WAL as a REAL
+    bounded file stream (Trigger.AvailableNow, 2 files per microbatch,
+    memory sink). Per-batch emissions depend on batching, but the
+    per-key FINAL state does not — aggregating the update feed to each
+    key's max-lsn row is batching-invariant and equals the batch LWW,
+    which is exactly what the SQL oracle computes. Green parity = the
+    streaming stateful operator implements the same semantics as the
+    batch engine."""
+    from pyspark.sql import types as T
+
+    from .streaming.stateful import compact_change_stream
+
+    fx = _table_fixture(spark, sf_dir)
+    key = os.path.abspath(sf_dir)
+    if key not in _STREAM_FIXTURE:
+        sink = f"stateful_feed_{abs(hash(key)) % 10**9}"
+        schema = T.StructType([
+            T.StructField("lsn", T.LongType()),
+            T.StructField("epoch", T.IntegerType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+            T.StructField("n_tok", T.IntegerType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ])
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(os.path.join(fx["wal_root"], "epoch-*"))
+        )
+        q = (
+            compact_change_stream(stream)
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _STREAM_FIXTURE[key] = sink
+    feed = spark.table(_STREAM_FIXTURE[key])
+    return (
+        feed.groupBy("doc_id")
+        .agg(
+            F.max("lsn").alias("lsn"),
+            F.max_by("op", "lsn").alias("op"),
+            F.max_by("n_tok", "lsn").alias("n_tok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_STREAM_STATEFUL = f"""
+WITH env AS ({_TF_ENV_SQL}),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+  FROM env
+)
+SELECT doc_id, lsn, op,
+       CASE WHEN op = 'D' THEN NULL ELSE (1 + lsn % 3)::INT END AS n_tok
+FROM r WHERE rn = 1 ORDER BY doc_id
+"""
+
+QUERIES["streaming_stateful_compact"] = streaming_stateful_compact
+ORACLES["streaming_stateful_compact"] = ORACLE_STREAM_STATEFUL
+
+
 _CSV_FIXTURE: dict = {}
 
 
