@@ -33,6 +33,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _enable_python_pushdown(spark: SparkSession) -> None:
+    # Spark 4.1 ships spark.sql.python.filterPushdown.enabled=false; a
+    # Python DataSource that implements pushFilters() then fails planning
+    # with DATA_SOURCE_PUSHDOWN_DISABLED. The repo's session factory
+    # (session.py) enables it, but the driver's session does not — the
+    # engine's queries must not depend on the caller's session factory,
+    # so set it here at runtime (runtime-settable, idempotent), exactly
+    # like the session-timezone defense in _t above.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+
 # =====================================================================
 # Reference-ETL analogs (SURVEY.md §2.3/2.6/2.8 — transform semantics of
 # src/transform.py + notebooks/06 re-expressed over the TPC-H-ish tables)
@@ -2856,6 +2867,7 @@ def wal_datasource_scan(spark, sf_dir):
     envelopes and both predicates in SQL."""
     from .sources.wal_datasource import WalDataSource
 
+    _enable_python_pushdown(spark)
     fx = _table_fixture(spark, sf_dir)
     spark.dataSource.register(WalDataSource)
     seg = fx["seg"]
@@ -2909,6 +2921,7 @@ def serving_sink_roundtrip(spark, sf_dir):
 
     from .sources.serving_sink import ServingSinkDataSource
 
+    _enable_python_pushdown(spark)
     spark.dataSource.register(ServingSinkDataSource)
     key = os.path.abspath(sf_dir)
     if key not in _SERVING_FIXTURE:
