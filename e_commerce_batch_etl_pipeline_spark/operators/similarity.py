@@ -105,8 +105,12 @@ def hyperplane_signature(df: DataFrame, id_col: str = "vec_id",
     formulation shuffled N×dim rows (64× inflation at dim=64) into a
     two-level aggregate — at 10^9 vectors that shuffle is the dominant
     cost of signature building; this one scans and emits exactly N rows.
-    Rows with null/empty vectors are excluded (posexplode semantics the
-    oracle encodes).
+    Rows whose vector is null or whose length differs from ``dim`` are
+    EXCLUDED: zip_with null-pads a short vector, the null product
+    nullifies the whole fold, and every bit would silently come out 0 —
+    collapsing all ragged vectors into one LSH bucket. Excluding them
+    matches the fixed-dim contract and keeps ragged input out of the
+    candidate stream instead of corrupting it.
 
     Pass ``dim`` when known (callers usually know it) — the fallback
     ``first()`` probe costs a driver-side job per invocation."""
@@ -120,7 +124,7 @@ def hyperplane_signature(df: DataFrame, id_col: str = "vec_id",
     weights = _plane_weights(planes, dim)
     rows = df.select(
         F.col(id_col), quantize(F.col(vec_col)).alias("_qv")
-    ).filter(F.size("_qv") > 0)
+    ).filter(F.size("_qv") == dim)
     bucket = F.lit(0).cast("long")
     for p in range(planes):
         warr = F.array(*[F.lit(w) for w in weights[p]])
@@ -154,8 +158,11 @@ def embedding_neardup_lsh(df: DataFrame, id_col: str = "vec_id",
     Defaults: (49, 400) = cos ≥ 0.35 (bit-agree probability
     1 - acos(0.35)/π ≈ 0.61 ⇒ 8 bands × 2 bits recall ≈ 0.98); for a
     true near-duplicate corpus (cos ≥ 0.9, bit-agree ≈ 0.86) widen the
-    bands — e.g. planes=64, bands=8 (8-bit bands: recall ≈ 0.93 with a
-    random-pair collision rate ≈ 3%). Keep thr_num/thr_den a reduced
+    bands — e.g. planes=56, bands=8 (7-bit bands: recall ≈ 0.97 theory,
+    ≥0.8 measured on planted cos≥0.9 dups in CI, random-pair collision
+    ≈ 6%; the signature is ONE int64, so planes is capped at 63 — wider
+    than that needs the multi-signature-column approach noted in
+    hyperplane_signature's guard). Keep thr_num/thr_den a reduced
     fraction, and note the int64 domain: thr_den·dot² must fit — with
     QUANT=10000 that means roughly unit-norm embeddings (n2 ≈ 1e8 ⇒
     dot² ≤ 1e16); scale raw vectors down first if their norm is large.

@@ -396,7 +396,16 @@ def commit_lock(root: str, wait_sec: float | None = None):
     deadline = time.monotonic() + wait_sec
     backoff = 0.02
     age = None  # last successful stat; None until one lands
-    while True:
+    acquired = False
+    try:
+        # one unconditional attempt BEFORE the deadline-checked loop:
+        # wait_sec=0 must behave as a non-blocking try-lock (acquire a
+        # free lock, error only on a held one), not error unconditionally
+        _acquire()
+        acquired = True
+    except FileExistsError:
+        pass
+    while not acquired:
         # deadline first, so EVERY path through the loop is bounded —
         # including a lock that flaps between exists (O_EXCL fails) and
         # vanished (stat fails), which previously skipped both the
