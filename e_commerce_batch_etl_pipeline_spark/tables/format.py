@@ -291,6 +291,101 @@ def _parquet_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def _file_entry(
+    abs_path: str, rel_path: str, bucket: int, key_column: str
+) -> dict | None:
+    """Build a manifest file entry with per-file stats from the parquet
+    footer: row count, min/max of the key column, and (when the file
+    carries it — delta files) min/max lsn. Returns None for empty files.
+
+    The footer is ALREADY being opened here to skip empty partitions, so
+    the stats are free at write time; they buy file-level pruning at
+    read/lookup time (Iceberg manifest column-stats shape). Per-row-group
+    min/max are folded to file level. Parquet string stats may be
+    writer-truncated to a bounding prefix — still a SOUND range (stat_min
+    <= true_min, stat_max >= true_max), so pruning on them never drops a
+    live file. Files whose footer lacks stats simply omit the keys and
+    are never pruned (backward compatible with pre-stats manifests)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    if md.num_rows == 0:
+        return None
+    entry = {"path": rel_path, "bucket": bucket, "rows": md.num_rows}
+    cols = {}
+    for i in range(md.num_columns):
+        name = md.schema.column(i).path
+        if name in (key_column, "lsn"):
+            cols[name] = i
+    for name, i in cols.items():
+        mn = mx = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                mn = None
+                break
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+        if mn is None:
+            continue
+        if isinstance(mn, bytes) or isinstance(mx, bytes):
+            continue  # undecoded binary stats — not comparable portably
+        if name == key_column:
+            entry["min_key"], entry["max_key"] = mn, mx
+        else:
+            entry["min_lsn"], entry["max_lsn"] = int(mn), int(mx)
+    return entry
+
+
+def _build_entries(
+    src_dir: str, rel_dir: str, key_column: str, wanted: set | None
+) -> list[dict]:
+    """File entries (with footer stats) for every non-empty bucket-pure
+    ``part-0000i-*`` file in ``src_dir``. Footer opens run on a thread
+    pool (I/O-bound, GIL released inside pyarrow) so a 4096-bucket
+    commit's entry build is not 4096 SERIAL driver reads — the same
+    treatment the engine's staged-stats fast path uses
+    (streaming/microbatch.py::_footer_stats)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    cands = []
+    for fn in sorted(os.listdir(src_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        b = int(fn.split("-")[1])
+        if wanted is not None and b not in wanted:
+            continue
+        cands.append((fn, b))
+    if not cands:
+        return []
+
+    def one(t):
+        fn, b = t
+        return _file_entry(
+            os.path.join(src_dir, fn), os.path.join(rel_dir, fn),
+            b, key_column,
+        )
+
+    with ThreadPoolExecutor(max_workers=min(16, len(cands))) as ex:
+        return [e for e in ex.map(one, cands) if e is not None]
+
+
+def _may_contain_keys(entry: dict, sorted_keys: list) -> bool:
+    """File-level key pruning: False only when the entry's key range
+    provably excludes every requested key. Entries without stats are
+    kept. ``sorted_keys`` must be sorted ascending."""
+    mn, mx = entry.get("min_key"), entry.get("max_key")
+    if mn is None or mx is None or not sorted_keys:
+        return True
+    import bisect
+
+    try:
+        i = bisect.bisect_left(sorted_keys, mn)
+        return i < len(sorted_keys) and sorted_keys[i] <= mx
+    except TypeError:
+        return True  # incomparable key/stat types — never prune
+
+
 # Manifest files are content-addressed (name = sha1 of canonical entry
 # JSON) and therefore IMMUTABLE — safe to cache indefinitely, but NOT
 # unboundedly: a long-lived driver (soak / streaming engine) with
@@ -561,20 +656,51 @@ class LakeTable:
         spark: SparkSession,
         buckets: list[int] | None = None,
         snapshot: Snapshot | None = None,
+        keys: list | None = None,
     ) -> DataFrame:
         """Manifest-driven scan with file pruning + schema reconciliation.
 
         Only files listed in the snapshot are read (partially-written or
         orphaned files are invisible). ``buckets`` prunes to the touched
-        buckets — the MERGE path's file-level pruning. Old files written
-        under an earlier schema_version are reconciled column-by-column:
-        missing columns become typed NULLs, narrower ints are cast up.
+        buckets — the MERGE path's file-level pruning. ``keys`` prunes
+        further to the files whose manifest [min_key, max_key] range can
+        contain a requested key (per-file stats recorded at write time)
+        and restricts the RESULT to exactly those keys — under
+        merge-on-read this also shrinks the LWW merge itself: a delta
+        file whose key range excludes every requested key never enters
+        the union, and a bucket whose deltas are all pruned scans clean
+        with no merge at all. Old files written under an earlier
+        schema_version are reconciled column-by-column: missing columns
+        become typed NULLs, narrower ints are cast up.
         """
         snap = snapshot or self.current()
         files = snap.files
         if buckets is not None:
             bs = set(buckets)
             files = [f for f in files if f["bucket"] in bs]
+        key_pred = None
+        if keys is not None:
+            sk = sorted(set(keys))
+            files = [f for f in files if _may_contain_keys(f, sk)]
+            # stats pruning is file-granular; the row-exact restriction:
+            # small sets push an In literal list (reaches row-group
+            # stats), large sets broadcast-semi-join (a 10^5-literal In
+            # bloats the plan) — applied BELOW the MOR merge either way
+            if len(sk) <= 1000:
+                key_pred = lambda df: df.filter(
+                    F.col(snap.key_column).isin(sk)
+                )
+            else:
+                kdf = spark.createDataFrame(
+                    [(k,) for k in sk],
+                    T.StructType([next(
+                        f for f in snap.schema.to_struct().fields
+                        if f.name == snap.key_column
+                    )]),
+                )
+                key_pred = lambda df: df.join(
+                    F.broadcast(kdf), snap.key_column, "left_semi"
+                )
         target = snap.schema.to_struct()
         if not files:
             return spark.createDataFrame([], target)
@@ -589,7 +715,8 @@ class LakeTable:
         # without a per-file plan.
         def scan(fs, schema):
             paths = [os.path.join(self.root, f["path"]) for f in fs]
-            return spark.read.schema(schema).parquet(*paths)
+            df = spark.read.schema(schema).parquet(*paths)
+            return key_pred(df) if key_pred is not None else df
 
         if not delta_files:
             return scan(base_files, target)
@@ -636,10 +763,14 @@ class LakeTable:
         """Point lookups (the serving-read path): scan ONLY the buckets
         the keys hash to — the murmur3 bucket route turns a key lookup
         into a 1/B-of-table scan per distinct bucket, independent of
-        table size. Small key sets additionally push an ``In`` filter to
-        the parquet row-group stats; large sets use a broadcast
-        semi-join instead (an ``isin`` with 10^5 literals bloats the
-        plan)."""
+        table size. Within the routed buckets, per-file manifest key
+        stats prune base AND delta files whose [min_key, max_key] range
+        excludes every requested key (read(keys=...)), so a lookup
+        touches a handful of files even in a bucket carrying thousands
+        of pending deltas. Small key sets additionally push an ``In``
+        filter to the parquet row-group stats; large sets use a
+        broadcast semi-join instead (an ``isin`` with 10^5 literals
+        bloats the plan)."""
         snap = snapshot or self.current()
         key = snap.key_column
         key_type = dict(
@@ -654,10 +785,7 @@ class LakeTable:
                 bucket_expr(key, snap.num_buckets).alias("b")
             ).distinct().collect()
         )
-        base = self.read(spark, buckets=buckets, snapshot=snap)
-        if len(keys) <= 1000:
-            return base.filter(F.col(key).isin(keys))
-        return base.join(F.broadcast(kdf), key, "left_semi")
+        return self.read(spark, buckets=buckets, snapshot=snap, keys=keys)
 
     def changes_between(
         self, spark: SparkSession, from_version: int, to_version: int,
@@ -800,17 +928,8 @@ class LakeTable:
         with bucket_aligned_write(df.sparkSession):
             out.write.mode("overwrite").parquet(out_dir)
         wanted = set(buckets_touched) if buckets_touched is not None else None
-        entries = []
-        for fn in sorted(os.listdir(out_dir)):
-            if not fn.endswith(".parquet"):
-                continue
-            b = int(fn.split("-")[1])
-            if _parquet_rows(os.path.join(out_dir, fn)) == 0:
-                continue  # empty partition → bucket has no data
-            if wanted is not None and b not in wanted:
-                continue
-            entries.append({"path": os.path.join(rel_dir, fn), "bucket": b})
-        return entries
+        # empty partitions (bucket has no data) drop out inside
+        return _build_entries(out_dir, rel_dir, snap.key_column, wanted)
 
     def commit(
         self,
@@ -974,16 +1093,13 @@ class LakeTable:
         entries = []
         import shutil as _shutil
 
-        for fn in sorted(os.listdir(stage_dir)):
-            if not fn.endswith(".parquet"):
-                continue
-            b = int(fn.split("-")[1])
-            if _parquet_rows(os.path.join(stage_dir, fn)) == 0:
-                continue
-            if wanted is not None and b not in wanted:
-                continue
-            _shutil.move(os.path.join(stage_dir, fn), os.path.join(out_dir, fn))
-            entries.append({"path": os.path.join(rel_dir, fn), "bucket": b})
+        key_column = self.current().key_column
+        entries = _build_entries(stage_dir, rel_dir, key_column, wanted)
+        for e in entries:
+            fn = os.path.basename(e["path"])
+            _shutil.move(
+                os.path.join(stage_dir, fn), os.path.join(out_dir, fn)
+            )
         return entries
 
     def evolve_schema(

@@ -223,16 +223,9 @@ def rebucket(
         df.repartition(new_buckets, F.col(snap.key_column)).write.mode(
             "overwrite"
         ).parquet(out_dir)
-    import pyarrow.parquet as pq
+    from .format import _build_entries
 
-    entries = []
-    for fn in sorted(os.listdir(out_dir)):
-        if not fn.endswith(".parquet"):
-            continue
-        b = int(fn.split("-")[1])
-        if pq.ParquetFile(os.path.join(out_dir, fn)).metadata.num_rows == 0:
-            continue
-        entries.append({"path": os.path.join(rel_dir, fn), "bucket": b})
+    entries = _build_entries(out_dir, rel_dir, snap.key_column, None)
     min_wm = min(
         (int(v) for v in snap.watermark.values()), default=-1
     )
