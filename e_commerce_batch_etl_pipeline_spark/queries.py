@@ -17,6 +17,7 @@ Portability rules used throughout:
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -2991,8 +2992,12 @@ def streaming_stateful_compact(spark, sf_dir):
 
     fx = _table_fixture(spark, sf_dir)
     key = os.path.abspath(sf_dir)
-    if key not in _STREAM_FIXTURE:
-        sink = f"stateful_feed_{abs(hash(key)) % 10**9}"
+    # memory-sink views are SESSION-scoped: a cached name from another
+    # session in this process (e.g. the default-conf parity harness)
+    # is invisible here — rebuild under a fresh name in that case
+    cached = _STREAM_FIXTURE.get(key)
+    if cached is None or not spark.catalog.tableExists(cached):
+        sink = f"stateful_feed_{uuid.uuid4().hex[:12]}"
         schema = T.StructType([
             T.StructField("lsn", T.LongType()),
             T.StructField("epoch", T.IntegerType()),
@@ -3140,8 +3145,11 @@ def streaming_windowed_rates(spark, sf_dir):
     fx = _table_fixture(spark, sf_dir)
     key = os.path.abspath(sf_dir)
     delay = fx["seg"] + 60
-    if key not in _WINDOWED_STREAM_FIXTURE:
-        sink = f"windowed_rates_{abs(hash(key)) % 10**9}"
+    # memory-sink views are SESSION-scoped: a cached name from another
+    # session in this process is invisible here — rebuild if so
+    cached = _WINDOWED_STREAM_FIXTURE.get(key)
+    if cached is None or not spark.catalog.tableExists(cached):
+        sink = f"windowed_rates_{uuid.uuid4().hex[:12]}"
         stream = stream_wal(
             spark,
             os.path.join(fx["wal_root"], "epoch-*"),
