@@ -285,12 +285,6 @@ class Snapshot:
         )
 
 
-def _parquet_rows(path: str) -> int:
-    import pyarrow.parquet as pq
-
-    return pq.ParquetFile(path).metadata.num_rows
-
-
 def _file_entry(
     abs_path: str, rel_path: str, bucket: int, key_column: str
 ) -> dict | None:

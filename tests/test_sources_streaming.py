@@ -387,3 +387,54 @@ def test_serving_partitioned_scan_keeps_null_partition_rows(
     assert back.count() == 200  # 29 NULL-keyed rows included
     assert back.filter(F.col("order_id").isNull()).count() == \
         src.filter(F.col("order_id").isNull()).count()
+
+
+def test_windowed_rates_append_emission_batching_invariant(
+    spark, tmpdir_clean
+):
+    """The oracle-checked append-mode emission contract
+    (queries.py::streaming_windowed_rates): with watermark delay wider
+    than one epoch's event-time span and results filtered to
+    window_end <= max_ts - delay - 1, the emitted window set is the
+    SAME under maxFilesPerTrigger=1 (many microbatches) and =64 (one
+    batch) — no late drops, no boundary-dependent final windows."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_batch_etl_pipeline_spark.sources.datagen import write_wal
+    from e_commerce_batch_etl_pipeline_spark.streaming.structured import (
+        stream_wal,
+        windowed_change_rates,
+    )
+
+    wal = os.path.join(tmpdir_clean, "wal")
+    write_wal(spark, wal, 3, 400, 300, seed=13, max_len=8)
+    max_ts = 1704067200 + 3 * 400 - 1  # datagen: ts = 1704067200 + lsn
+    delay = 400 + 60  # > one epoch's event-time span (= stride seconds)
+    cutoff = max_ts - delay - 1
+
+    def run(mfpt, name):
+        stream = stream_wal(spark, os.path.join(wal, "epoch-*"), mfpt)
+        agg = windowed_change_rates(
+            stream, window="60 seconds", watermark=f"{delay} seconds"
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory").queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            tuple(r) for r in spark.table(name)
+            .select(
+                F.unix_timestamp("window_start").alias("ws"),
+                "op", "n", "lsn_min", "lsn_max",
+            )
+            .filter(F.col("ws") + 60 <= cutoff)
+            .collect()
+        }
+
+    fine = run(1, "inv_fine")
+    coarse = run(64, "inv_coarse")
+    assert fine, "vacuous: no windows below the cutoff"
+    assert fine == coarse
