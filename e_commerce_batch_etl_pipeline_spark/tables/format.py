@@ -795,19 +795,35 @@ class LakeTable:
         aggregate/materialized-view maintainer needs to retract the old
         contribution before applying the new one.
 
-        Scale shape: both snapshot reads are FILE-PRUNED to the buckets
-        whose file sets differ between the versions — cost is
-        O(changed-bucket data), not O(table), for any mix of CoW/MOR/
-        compaction commits in the range (compaction rewrites buckets
-        without changing logical state; those rows fall out of the
-        full-outer diff as unchanged). Schema evolution in the range is
-        reconciled to the LATER snapshot's schema (added columns read as
-        NULL from the earlier version, so an update that only populates
-        a new column still surfaces as U).
+        Scale shape, two tiers:
+        - DELTA-ONLY ranges (deferred-compaction MOR: no file removed,
+          every added file a delta whose min_lsn clears the FROM
+          watermark — per-file manifest lsn stats gate this) take the
+          O(changes) fast path (``_changes_from_deltas``): LWW over the
+          added delta rows joined once against the FROM state; the TO
+          state is never materialized.
+        - Any other range (CoW replacements, compaction folds, rebucket)
+          falls back to the endpoint-snapshot diff: both snapshot reads
+          FILE-PRUNED to the buckets whose file sets differ — cost is
+          O(changed-bucket data), not O(table), for any mix of CoW/MOR/
+          compaction commits in the range (compaction rewrites buckets
+          without changing logical state; those rows fall out of the
+          full-outer diff as unchanged).
+        Schema evolution in the range is reconciled to the LATER
+        snapshot's schema (added columns read as NULL from the earlier
+        version, so an update that only populates a new column still
+        surfaces as U).
         """
         s1 = self.snapshot_at(from_version)
         s2 = self.snapshot_at(to_version)
         key = s2.key_column
+        paths1 = {f["path"] for f in s1.files}
+        paths2 = {f["path"] for f in s2.files}
+        added = [f for f in s2.files if f["path"] not in paths1]
+        removed = [f for f in s1.files if f["path"] not in paths2]
+        if self._delta_only_range(s1, s2, added, removed):
+            return self._changes_from_deltas(spark, s1, s2, added,
+                                             include_old)
         if s1.num_buckets == s2.num_buckets:
             files1 = {b: sorted(f["path"] for f in s1.files if f["bucket"] == b)
                       for b in range(s1.num_buckets)}
@@ -873,6 +889,116 @@ class LakeTable:
             .when(~F.col("_old").eqNullSafe(F.col("_new")), "U")
         )
         side = F.when(F.col("_inn").isNull(), F.col("_old")).otherwise(
+            F.col("_new")
+        )
+        old_cols = (
+            [
+                F.when(F.col("_ino").isNotNull(), F.col("_old").getField(c))
+                .alias(f"_old_{c}")
+                for c in payload
+            ]
+            if include_old else []
+        )
+        return (
+            j.withColumn("_change_op", op)
+            .filter(F.col("_change_op").isNotNull())
+            .select(
+                "_change_op", key,
+                *[side.getField(c).alias(c) for c in payload],
+                *old_cols,
+            )
+        )
+
+    @staticmethod
+    def _delta_only_range(s1, s2, added: list[dict],
+                          removed: list[dict]) -> bool:
+        """True iff the version range is DELTA-ONLY, making the
+        O(changes) feed fast path sound:
+
+        - same bucket layout (a rebucket makes bucket ids incomparable);
+        - no file removed (a CoW replacement or compaction fold inside
+          the range rewrites state that the added files alone can't
+          reconstruct);
+        - every added file is a delta CARRYING min_lsn stats, and its
+          min_lsn is strictly above the FROM snapshot's per-bucket
+          watermark — so the latest added delta per key provably beats
+          every row of the FROM state in read-time LWW (the per-file
+          lsn stats' load-bearing job: after a conservative watermark
+          reset re-applies old rows, this guard fails closed into the
+          endpoint-diff path).
+        """
+        return bool(
+            s1.num_buckets == s2.num_buckets
+            and added and not removed
+            and all(
+                f.get("kind") == "delta" and "min_lsn" in f
+                for f in added
+            )
+            and all(
+                f["min_lsn"] > int(s1.watermark.get(str(f["bucket"]), -1))
+                for f in added
+            )
+        )
+
+    def _changes_from_deltas(
+        self, spark: SparkSession, s1: Snapshot, s2: Snapshot,
+        added: list[dict], include_old: bool,
+    ) -> DataFrame:
+        """O(changes) feed for a delta-only range: every change in the
+        range lives in the ADDED delta files, so the NET feed is the
+        per-key LWW winner of those rows joined against the FROM state —
+        the TO state is never materialized (the endpoint-diff path reads
+        it in full, which re-reads every FROM file a second time plus
+        the full-outer shuffle of both states).
+
+        Net-change semantics identical to the endpoint diff:
+        winner D + key in FROM → D (old payload); winner D + absent →
+        nothing (insert+delete inside the range); winner I/U + absent →
+        I; winner I/U + present → U only when the payload differs
+        (null-safe struct compare — an idempotent re-statement of the
+        same payload is NOT a change, matching compaction-safe diff
+        behavior).
+        """
+        from ..operators.lww import lww_dedup
+
+        key = s2.key_column
+        target = s2.schema.to_struct()
+        payload = [f.name for f in target.fields if f.name != key]
+        delta_schema = T.StructType(
+            list(target.fields)
+            + [T.StructField("op", T.StringType()),
+               T.StructField("lsn", T.LongType())]
+        )
+        paths = [os.path.join(self.root, f["path"]) for f in added]
+        latest = lww_dedup(
+            spark.read.schema(delta_schema).parquet(*paths),
+            key=key, order="lsn",
+        )
+        changed_buckets = sorted({f["bucket"] for f in added})
+        old = self.read(spark, buckets=changed_buckets, snapshot=s1)
+        old = old.select(*[
+            F.col(f.name).cast(f.dataType) if f.name in old.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in target.fields
+        ])
+        o = old.select(
+            F.col(key), F.struct(*payload).alias("_old"),
+            F.lit(1).alias("_ino"),
+        )
+        n = latest.select(
+            F.col(key), F.col("op").alias("_dop"),
+            F.struct(*payload).alias("_new"),
+        )
+        j = n.join(o, key, "left_outer")
+        op = (
+            F.when(
+                F.col("_dop") == "D",
+                F.when(F.col("_ino").isNotNull(), "D"),
+            )
+            .when(F.col("_ino").isNull(), "I")
+            .when(~F.col("_old").eqNullSafe(F.col("_new")), "U")
+        )
+        side = F.when(F.col("_dop") == "D", F.col("_old")).otherwise(
             F.col("_new")
         )
         old_cols = (
