@@ -95,6 +95,11 @@ REPLAY_BUCKETS = 64
 SCALING_CHANGES = 4_000_000
 SCALING_EPOCHS = 3
 SCALING_ATTEMPTS = 5
+# when the completed attempts disagree badly (spread > 0.15 between the
+# attempt quartiles — a visibly contaminated window), run up to this
+# many EXTRA attempts (budget permitting) so the median rests on more
+# samples exactly when the machine is at its noisiest
+SCALING_MAX_EXTRA = 2
 # soft wall-clock budget for the WHOLE bench run: scaling attempts stop
 # early (with however many completed, >= 1) rather than risk an external
 # timeout killing the run before the JSON line prints
@@ -285,7 +290,24 @@ def main() -> None:
                                  epochs=SCALING_EPOCHS)
             sp_prep.stop()
             attempts = []
-            for attempt in range(SCALING_ATTEMPTS):
+            attempt = -1
+            while True:
+                attempt += 1
+                if attempt >= SCALING_ATTEMPTS:
+                    # adaptive extension: a wide inter-quartile spread
+                    # means the window was contaminated — buy the median
+                    # more samples (bounded, budget-permitting)
+                    effs_so_far = sorted(
+                        a["efficiency"] for a in attempts
+                    )
+                    n = len(effs_so_far)
+                    iqr = effs_so_far[(3 * n) // 4] - effs_so_far[n // 4]
+                    if (attempt >= SCALING_ATTEMPTS + SCALING_MAX_EXTRA
+                            or iqr <= 0.15):
+                        break
+                    out["scaling_attempts_extended"] = (
+                        f"IQR {iqr:.3f} > 0.15 after {n} attempts"
+                    )
                 if attempts and time.time() - t_start > TIME_BUDGET_SEC:
                     out["scaling_attempts_truncated"] = (
                         f"{len(attempts)}/{SCALING_ATTEMPTS} within "

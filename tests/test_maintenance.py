@@ -391,12 +391,17 @@ def test_changes_between_spans_shrink_rebucket(spark, tmpdir_clean):
     assert got == expect
 
 
-def test_dual_writer_processes_exactly_once(spark, tmpdir_clean):
+@pytest.mark.parametrize("merge_mode", ["cow", "mor"])
+def test_dual_writer_processes_exactly_once(spark, tmpdir_clean,
+                                            merge_mode):
     """Two engine PROCESSES replaying the same WAL into one table, each
     with its own checkpoint: the commit lock + (epoch, bucket) fences +
-    the CoW CAS/retry loop must yield each epoch applied exactly once
-    and the sequential-replay final state — no lost updates, no
-    double-applies."""
+    the CAS/retry loop must yield each epoch applied exactly once and
+    the sequential-replay final state — no lost updates, no
+    double-applies. CoW races on bucket REPLACEMENT commits; MOR
+    (deferred compaction) races on delta APPEND commits, where a loser
+    whose units got fenced mid-flight must drop its adopted files as a
+    no-op rather than double-append."""
     import subprocess
     import sys
 
@@ -429,7 +434,9 @@ from e_commerce_batch_etl_pipeline_spark.tables.format import LakeTable
 spark = build_session(app_name="peer-writer", master="local[4]",
                       shuffle_partitions=4)
 eng = CdcEngine(spark, LakeTable({table.root!r}),
-                WalSource({wal_root!r}), {os.path.join(tmpdir_clean, "ckpt_b")!r})
+                WalSource({wal_root!r}), {os.path.join(tmpdir_clean, "ckpt_b")!r},
+                merge_mode={merge_mode!r},
+                mor_compact_files=None)
 res = eng.run()
 print("PEER", [(r.epoch, r.status) for r in res])
 spark.stop()
@@ -440,7 +447,8 @@ spark.stop()
     )
     try:
         eng = CdcEngine(spark, table, WalSource(wal_root),
-                        os.path.join(tmpdir_clean, "ckpt_a"))
+                        os.path.join(tmpdir_clean, "ckpt_a"),
+                        merge_mode=merge_mode, mor_compact_files=None)
         res_a = eng.run()
     finally:
         out, _ = peer.communicate(timeout=240)
