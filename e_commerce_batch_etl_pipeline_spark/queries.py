@@ -3261,6 +3261,42 @@ QUERIES["table_rebucket_replay"] = table_rebucket_replay
 ORACLES["table_rebucket_replay"] = ORACLE_REBUCKET_REPLAY
 
 
+_KEY_RANGE_LO, _KEY_RANGE_HI = "u000000010", "u000000099"
+
+
+def table_key_range_scan(spark, sf_dir):
+    """Key-range scan (tables/format.py:read(key_range=...)): the
+    range-scan analog of the point lookup — per-file manifest
+    [min_key, max_key] stats prune files whose range provably misses the
+    inclusive [lo, hi] window before the scan is planned, and under
+    merge-on-read the pruned delta files never enter the LWW union
+    (Iceberg manifest range-filtering shape). Runs against the shared
+    replayed lake-table fixture, deltas pending. Oracle: plain BETWEEN
+    over the layout-independent final replay state."""
+    fx = _table_fixture(spark, sf_dir)
+    rows = fx["table"].read(
+        spark, key_range=(_KEY_RANGE_LO, _KEY_RANGE_HI)
+    )
+    return rows.select(
+        "doc_id",
+        "n_tok",
+        F.element_at("tokens", 1).alias("tok0"),
+        "source",
+    ).orderBy("doc_id")
+
+
+ORACLE_KEY_RANGE_SCAN = f"""
+WITH {_TF_STATES_SQL}
+SELECT doc_id, n_tok, tok0, source
+FROM s2
+WHERE doc_id BETWEEN '{_KEY_RANGE_LO}' AND '{_KEY_RANGE_HI}'
+ORDER BY doc_id
+"""
+
+QUERIES["table_key_range_scan"] = table_key_range_scan
+ORACLES["table_key_range_scan"] = ORACLE_KEY_RANGE_SCAN
+
+
 # =====================================================================
 # Driver-correctness-window ordering.
 #
@@ -3296,6 +3332,7 @@ _DRIVER_HEAD = [
     # brand-new round-5 queries
     "streaming_windowed_rates",
     "table_rebucket_replay",
+    "table_key_range_scan",
 ]
 _DRIVER_TAIL = [
     # triple-verified (green driver rows in r02, r03 AND r04) — the 15

@@ -380,6 +380,24 @@ def _may_contain_keys(entry: dict, sorted_keys: list) -> bool:
         return True  # incomparable key/stat types — never prune
 
 
+def _may_overlap_range(entry: dict, lo, hi) -> bool:
+    """File-level range pruning: False only when the entry's
+    [min_key, max_key] provably misses the (inclusive) requested range.
+    Open ends (``lo``/``hi`` = None) never exclude on that side; entries
+    without stats are kept."""
+    mn, mx = entry.get("min_key"), entry.get("max_key")
+    if mn is None or mx is None:
+        return True
+    try:
+        if lo is not None and mx < lo:
+            return False
+        if hi is not None and mn > hi:
+            return False
+    except TypeError:
+        return True  # incomparable bound/stat types — never prune
+    return True
+
+
 # Manifest files are content-addressed (name = sha1 of canonical entry
 # JSON) and therefore IMMUTABLE — safe to cache indefinitely, but NOT
 # unboundedly: a long-lived driver (soak / streaming engine) with
@@ -651,6 +669,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         snapshot: Snapshot | None = None,
         keys: list | None = None,
+        key_range: tuple | None = None,
     ) -> DataFrame:
         """Manifest-driven scan with file pruning + schema reconciliation.
 
@@ -663,16 +682,41 @@ class LakeTable:
         merge-on-read this also shrinks the LWW merge itself: a delta
         file whose key range excludes every requested key never enters
         the union, and a bucket whose deltas are all pruned scans clean
-        with no merge at all. Old files written under an earlier
-        schema_version are reconciled column-by-column: missing columns
-        become typed NULLs, narrower ints are cast up.
+        with no merge at all. ``key_range=(lo, hi)`` is the range-scan
+        analog (Iceberg manifest range filtering): inclusive bounds,
+        either end None for open; files whose key range provably misses
+        [lo, hi] never enter the scan — with monotone ingest ids this
+        turns a "recent rows" range scan into a few-file read even at
+        thousands of files. Pruning either way is sound under MOR: a
+        pruned file contains NO requested key, so no requested key's LWW
+        resolution loses a contender. Buckets hash by key, so a range
+        does NOT bucket-route — it file-prunes across all buckets. Old
+        files written under an earlier schema_version are reconciled
+        column-by-column: missing columns become typed NULLs, narrower
+        ints are cast up.
         """
+        if keys is not None and key_range is not None:
+            raise ValueError("pass keys= or key_range=, not both")
         snap = snapshot or self.current()
         files = snap.files
         if buckets is not None:
             bs = set(buckets)
             files = [f for f in files if f["bucket"] in bs]
         key_pred = None
+        if key_range is not None:
+            lo, hi = key_range
+            if lo is None and hi is None:
+                raise ValueError("key_range needs at least one bound")
+            files = [f for f in files if _may_overlap_range(f, lo, hi)]
+            kc = F.col(snap.key_column)
+            if lo is None:
+                key_pred = lambda df: df.filter(kc <= F.lit(hi))
+            elif hi is None:
+                key_pred = lambda df: df.filter(kc >= F.lit(lo))
+            else:
+                key_pred = lambda df: df.filter(
+                    kc.between(F.lit(lo), F.lit(hi))
+                )
         if keys is not None:
             sk = sorted(set(keys))
             files = [f for f in files if _may_contain_keys(f, sk)]

@@ -145,13 +145,12 @@ def test_stats_absent_entries_never_pruned():
     assert fmt._may_contain_keys({"min_key": 1, "max_key": 5}, ["a"])
 
 
-def test_crafted_disjoint_delta_ranges_prune_deterministically(
-    spark, tmpdir_clean
-):
-    """Two delta commits with DISJOINT key ranges in the same bucket: a
-    lookup for a key in range A must not read the range-B delta file."""
+def _crafted_disjoint_table(spark, tmpdir_clean):
+    """Single-bucket table: base keys a_000..a_049 (v=i), then two delta
+    commits with DISJOINT key ranges — a_000..a_009 (v=100+i, lsn 0..9)
+    and z_000..z_009 (v=100+i, lsn 100..109)."""
     from e_commerce_batch_etl_pipeline_spark.tables.format import (
-        LakeTable, TableSchema, bucket_expr,
+        LakeTable, TableSchema,
     )
 
     schema = TableSchema(fields=[
@@ -183,6 +182,15 @@ def test_crafted_disjoint_delta_ranges_prune_deterministically(
 
     delta_commit(1, "a", 0)    # keys a_000..a_009
     delta_commit(2, "z", 100)  # keys z_000..z_009 — disjoint range
+    return table
+
+
+def test_crafted_disjoint_delta_ranges_prune_deterministically(
+    spark, tmpdir_clean
+):
+    """Two delta commits with DISJOINT key ranges in the same bucket: a
+    lookup for a key in range A must not read the range-B delta file."""
+    table = _crafted_disjoint_table(spark, tmpdir_clean)
     snap = table.current()
     deltas = [f for f in snap.files if f.get("kind") == "delta"]
     assert len(deltas) == 2
@@ -196,3 +204,72 @@ def test_crafted_disjoint_delta_ranges_prune_deterministically(
     assert z_path not in scanned, "disjoint-range delta must be pruned"
     rows = df.collect()
     assert len(rows) == 1 and rows[0]["v"] == 103  # delta won LWW
+
+
+# ------------------------------------------------------------------
+# key_range=(lo, hi) — the range-scan analog of keys= (round 5)
+# ------------------------------------------------------------------
+
+
+def test_key_range_matches_full_read_filter(mor_table, spark):
+    """Pruned range scan ≡ unpruned full read + BETWEEN filter, on a
+    table with pending deltas; open-ended variants included."""
+    full = mor_table.read(spark)
+    live = sorted(r[0] for r in full.select("doc_id").collect())
+    lo, hi = live[len(live) // 4], live[(3 * len(live)) // 4]
+
+    def rows(df):
+        return {tuple(r) for r in df.select("doc_id", "n_tok").collect()}
+
+    got = rows(mor_table.read(spark, key_range=(lo, hi)))
+    want = rows(full.filter(F.col("doc_id").between(lo, hi)))
+    assert got == want and got
+    # open ends
+    assert rows(mor_table.read(spark, key_range=(None, lo))) == rows(
+        full.filter(F.col("doc_id") <= lo)
+    )
+    assert rows(mor_table.read(spark, key_range=(hi, None))) == rows(
+        full.filter(F.col("doc_id") >= hi)
+    )
+
+
+def test_key_range_prunes_disjoint_files(spark, tmpdir_clean):
+    """A range covering only the a_* keys must not plan the z_* delta
+    file; a range above every key reads nothing and returns empty."""
+    table = _crafted_disjoint_table(spark, tmpdir_clean)
+    snap = table.current()
+    z_delta = next(
+        f for f in snap.files
+        if f.get("kind") == "delta" and f["min_key"].startswith("z")
+    )
+    df = table.read(spark, key_range=("a_000", "a_999"))
+    scanned = {
+        os.path.realpath(p.removeprefix("file:")) for p in df.inputFiles()
+    }
+    z_path = os.path.realpath(os.path.join(table.root, z_delta["path"]))
+    assert scanned and z_path not in scanned
+    assert df.count() == 50  # a_000..a_049, deltas LWW-applied in place
+    # provably-empty range: every file pruned, schema-stable empty result
+    empty = table.read(spark, key_range=("zz_0", "zz_9"))
+    assert empty.inputFiles() == [] and empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["doc_id", "v"]
+
+
+def test_key_range_rejects_bad_args(mor_table, spark):
+    with pytest.raises(ValueError):
+        mor_table.read(spark, keys=["k"], key_range=("a", "b"))
+    with pytest.raises(ValueError):
+        mor_table.read(spark, key_range=(None, None))
+
+
+def test_may_overlap_range_unit():
+    f = fmt._may_overlap_range
+    assert f({"min_key": "b", "max_key": "d"}, "a", "c")
+    assert f({"min_key": "b", "max_key": "d"}, "c", None)
+    assert f({"min_key": "b", "max_key": "d"}, None, "b")
+    assert not f({"min_key": "b", "max_key": "d"}, "e", "z")
+    assert not f({"min_key": "b", "max_key": "d"}, None, "a")
+    assert not f({"min_key": "b", "max_key": "d"}, "e", None)
+    # no stats / incomparable types → never prune
+    assert f({"path": "x"}, "a", "b")
+    assert f({"min_key": 1, "max_key": 5}, "a", "b")
