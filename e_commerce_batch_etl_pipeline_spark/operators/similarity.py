@@ -113,14 +113,22 @@ def hyperplane_signature(df: DataFrame, id_col: str = "vec_id",
     candidate stream instead of corrupting it.
 
     Pass ``dim`` when known (callers usually know it) — the fallback
-    ``first()`` probe costs a driver-side job per invocation."""
+    probe costs a full aggregation job per invocation. The probe takes
+    the MODAL vector size (``mode(size(vec))``), not the first row's:
+    with the size==dim filter below, a ragged or null first row would
+    otherwise invert the filter and keep exactly the malformed rows."""
     if not 1 <= planes <= 63:
         # the bucket is ONE signed int64; bit 63 would need 1<<63 which
         # overflows (and makes arithmetic shiftright sign-extend in the
         # band extraction). >63 planes ⇒ use multiple signature columns.
         raise ValueError(f"planes must be in [1, 63], got {planes}")
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        probed = df.select(F.mode(F.size(vec_col)).alias("d")).first()
+        dim = probed["d"] if probed else None
+        if dim is None:
+            raise ValueError(
+                f"cannot infer dim: no non-null {vec_col} values"
+            )
     weights = _plane_weights(planes, dim)
     rows = df.select(
         F.col(id_col), quantize(F.col(vec_col)).alias("_qv")

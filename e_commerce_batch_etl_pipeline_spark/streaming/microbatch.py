@@ -480,8 +480,30 @@ class CdcEngine:
         try:
             # touched buckets + per-bucket max lsn + applied rows — from
             # parquet footers (small epochs) or a distributed stats job
-            # (large bucket counts); see _bucket_stats
-            stats = self._bucket_stats(valid_dir, snap)
+            # (large bucket counts); see _bucket_stats. Merge-on-read
+            # derives BOTH the stats and the manifest entries that
+            # adopt_delta_files will publish from ONE threaded footer
+            # pass — adoption needs the per-file entries (rows, min/max
+            # key, min/max lsn) regardless, so a separate stats pass
+            # would open every staged footer a second time.
+            staged_entries = None
+            if self.merge_mode == "mor":
+                from ..tables.format import _build_entries
+
+                staged_entries = _build_entries(
+                    valid_dir, "", snap.key_column, None
+                ) if os.path.isdir(valid_dir) else []
+                stats = {}
+                for e in staged_entries:
+                    if "max_lsn" not in e:
+                        raise RuntimeError(
+                            f"staged file {e['path']} lacks lsn statistics"
+                        )
+                    stats[e["bucket"]] = {
+                        "rows": e["rows"], "max_lsn": e["max_lsn"],
+                    }
+            else:
+                stats = self._bucket_stats(valid_dir, snap)
             if not stats:
                 return EpochResult(
                     epoch=epoch, status="empty", conflicts=conflicts,
@@ -516,7 +538,10 @@ class CdcEngine:
             # the fold (measured: a 13M-row inline fold cost one 123 s
             # epoch in the 55M soak; see BASELINE.md).
             if self.merge_mode == "mor":
-                new_files = self.table.adopt_delta_files(valid_dir, touched)
+                new_files = self.table.adopt_delta_files(
+                    valid_dir, touched, key_column=snap.key_column,
+                    entries=staged_entries,
+                )
                 self.table.commit(
                     epoch=epoch,
                     replaced_buckets=touched,

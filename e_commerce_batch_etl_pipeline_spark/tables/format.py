@@ -718,8 +718,18 @@ class LakeTable:
                     kc.between(F.lit(lo), F.lit(hi))
                 )
         if keys is not None:
-            sk = sorted(set(keys))
-            files = [f for f in files if _may_contain_keys(f, sk)]
+            # NULL matches no key (isin / equi-join semantics) — drop it
+            # rather than crash sorting; key sets Python cannot totally
+            # order (mixed types) skip file pruning but still restrict
+            # row-exactly below.
+            ks = {k for k in keys if k is not None}
+            if not ks:
+                files = []
+            try:
+                sk = sorted(ks)
+                files = [f for f in files if _may_contain_keys(f, sk)]
+            except TypeError:
+                sk = list(ks)
             # stats pruning is file-granular; the row-exact restriction:
             # small sets push an In literal list (reaches row-group
             # stats), large sets broadcast-semi-join (a 10^5-literal In
@@ -966,10 +976,18 @@ class LakeTable:
         - every added file is a delta CARRYING min_lsn stats, and its
           min_lsn is strictly above the FROM snapshot's per-bucket
           watermark — so the latest added delta per key provably beats
-          every row of the FROM state in read-time LWW (the per-file
-          lsn stats' load-bearing job: after a conservative watermark
-          reset re-applies old rows, this guard fails closed into the
-          endpoint-diff path).
+          every row of the FROM state in read-time LWW. The soundness
+          rests on a commit invariant, not on failing closed: between
+          rebuckets, ``watermark[b]`` is monotone and ≥ every delta-row
+          lsn in bucket b's files (commit sets it to the adopted delta's
+          max lsn), and a rebucket that RESETS watermarks also folds
+          every delta into base files (which read as lsn=-1) — so no
+          FROM state can hold a delta row above its own watermark, and
+          an added file clearing the watermark beats all FROM rows.
+          In particular, post-rebucket re-applied ranges legitimately
+          TAKE the fast path (their old lsns still clear the reset
+          watermark) and remain correct; stats-less added files and
+          mixed layouts are what actually fall back.
         """
         return bool(
             s1.num_buckets == s2.num_buckets
@@ -1240,7 +1258,9 @@ class LakeTable:
         return new_snap
 
     def adopt_delta_files(
-        self, stage_dir: str, buckets_touched: list[int] | None = None
+        self, stage_dir: str, buckets_touched: list[int] | None = None,
+        key_column: str | None = None,
+        entries: list[dict] | None = None,
     ) -> list[dict]:
         """Adopt bucket-pure staged files as delta files (merge-on-read).
 
@@ -1248,17 +1268,33 @@ class LakeTable:
         via the aligned repartition, carries op+lsn) — adopting it is a
         driver-side file move, so a MOR epoch writes the data exactly
         once: O(changes), never O(table).
+
+        ``key_column`` / ``entries`` let a caller that already knows them
+        skip redundant per-epoch metadata I/O: without ``key_column`` this
+        method loads the whole current snapshot (O(buckets) manifest
+        parses) just to learn the immutable key column, and without
+        ``entries`` it re-opens every staged footer a stats pass may have
+        just read. Precomputed ``entries`` keep their stats; only their
+        ``path`` is rewritten into this commit's directory.
         """
         attempt = uuid.uuid4().hex[:12]
         rel_dir = os.path.join("data", f"commit-{attempt}")
         out_dir = os.path.join(self.root, rel_dir)
         os.makedirs(out_dir, exist_ok=True)
         wanted = set(buckets_touched) if buckets_touched is not None else None
-        entries = []
         import shutil as _shutil
 
-        key_column = self.current().key_column
-        entries = _build_entries(stage_dir, rel_dir, key_column, wanted)
+        if entries is None:
+            if key_column is None:
+                key_column = self.current().key_column
+            entries = _build_entries(stage_dir, rel_dir, key_column, wanted)
+        else:
+            entries = [
+                {**e,
+                 "path": os.path.join(rel_dir, os.path.basename(e["path"]))}
+                for e in entries
+                if wanted is None or e["bucket"] in wanted
+            ]
         for e in entries:
             fn = os.path.basename(e["path"])
             _shutil.move(

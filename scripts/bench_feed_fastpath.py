@@ -6,7 +6,9 @@ Deferred-compaction MOR table; each measured range is delta-only, so
 delta files + one join against the FROM state). The forced-slow
 comparison monkeypatches the range test off, running the SAME range
 through the endpoint-snapshot diff (materialize both states, full-outer
-join). Row-set equality is asserted per range.
+join). Row-set equality is asserted per range via an untimed
+order-independent all-column multiset checksum (count + xxhash64 sums),
+not just count parity.
 
 Run:  python scripts/bench_feed_fastpath.py [--scale-div N]
 Emits one JSON line.
@@ -76,12 +78,25 @@ def main() -> None:
                     lambda *a, **k: False
                 )
             try:
-                times, n = [], None
+                times, n, sig = [], None, None
                 for _ in range(3):
                     t0 = time.monotonic()
                     n = table.changes_between(spark, v1, v2).count()
                     times.append(time.monotonic() - t0)
-                return statistics.median(times), n
+                # untimed row-SET check (not just count parity): an
+                # order-independent multiset checksum over every column,
+                # so a fast path emitting the right number of wrong rows
+                # (wrong op labels, stale payloads) fails the assert
+                feed = table.changes_between(spark, v1, v2)
+                from pyspark.sql import functions as F
+                row = feed.select(
+                    F.xxhash64(*sorted(feed.columns)).alias("h")
+                ).agg(
+                    F.count(F.lit(1)).alias("n"), F.sum("h").alias("s"),
+                    F.sum(F.hash("h").cast("long")).alias("s2"),
+                ).collect()[0]
+                sig = (int(row["n"]), row["s"], row["s2"])
+                return statistics.median(times), n, sig
             finally:
                 # class-attr access unwraps the staticmethod; re-wrap on
                 # restore or the plain function binds self (5-arg error)
@@ -91,9 +106,10 @@ def main() -> None:
                "base_n": base_n, "per_epoch": per_epoch, "ranges": {}}
         for span in (1, 4, args.epochs - 1):
             v1 = versions[-1 - span]
-            t_fast, n_fast = timed(v1, v_last, True)
-            t_slow, n_slow = timed(v1, v_last, False)
+            t_fast, n_fast, sig_fast = timed(v1, v_last, True)
+            t_slow, n_slow, sig_slow = timed(v1, v_last, False)
             assert n_fast == n_slow, (span, n_fast, n_slow)
+            assert sig_fast == sig_slow, (span, sig_fast, sig_slow)
             out["ranges"][f"span_{span}"] = {
                 "net_changes": n_fast,
                 "fast_sec": round(t_fast, 2),

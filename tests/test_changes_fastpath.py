@@ -14,7 +14,6 @@ stats → endpoint diff).
 import os
 
 import pytest
-from pyspark.sql import functions as F
 
 from e_commerce_batch_etl_pipeline_spark.sources.datagen import (
     generate_base_docs, write_wal,
@@ -111,15 +110,19 @@ def test_compaction_fold_in_range_falls_back(
 
     table = _mor_table(spark, tmpdir_clean)
     v1 = table.history()[1]
+    v_pre = table.current().version
+    # the feed up to the pre-fold endpoint is the ground truth: the fold
+    # is logically a no-op, so extending the range across it must yield
+    # the SAME net changes — no fold artifact may surface as I/U/D rows
+    pre_fold = _rows(table.changes_between(spark, v1, v_pre))
     snap = compact(table, spark, max_files_per_bucket=1)
     assert snap is not None  # fold removed files inside the range
     v2 = table.current().version
+    assert v2 > v_pre
     calls = _spy_fast(monkeypatch)
-    feed = table.changes_between(spark, v1, v2)
+    feed = _rows(table.changes_between(spark, v1, v2))
     assert not calls, "removed files must force the endpoint-diff path"
-    # compaction is logically a no-op on the folded state; the feed
-    # still reports the rows the epochs changed, never fold artifacts
-    assert feed.filter(F.col("_change_op").isNull()).count() == 0
+    assert feed == pre_fold and feed
 
 
 def test_stripped_lsn_stats_fall_back(spark, tmpdir_clean, monkeypatch):

@@ -273,3 +273,77 @@ def test_may_overlap_range_unit():
     # no stats / incomparable types → never prune
     assert f({"path": "x"}, "a", "b")
     assert f({"min_key": 1, "max_key": 5}, "a", "b")
+
+
+# ------------------------------------------------------------------
+# round-5 review regressions: NULL/unsortable keys, adopt entry reuse
+# ------------------------------------------------------------------
+
+
+def test_lookup_tolerates_null_key(mor_table, spark):
+    """keys fed from an outer join can carry NULL — NULL matches no key
+    (isin/equi-join semantics), so a lookup with a None among the keys
+    must return exactly the non-None keys' rows, not raise from
+    sorting."""
+    live = sorted(
+        r[0] for r in mor_table.read(spark).select("doc_id").collect()
+    )
+    k = live[0]
+
+    def rows(df):
+        return {
+            tuple(r) for r in df.select("doc_id", "n_tok").collect()
+        }
+
+    with_null = rows(mor_table.lookup(spark, [k, None]))
+    without = rows(mor_table.lookup(spark, [k]))
+    assert with_null == without and with_null
+    # all-None key set: provably empty, schema-stable, zero files planned
+    empty = mor_table.read(spark, keys=[None])
+    assert empty.inputFiles() == [] and empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        f.name for f in mor_table.current().schema.to_struct().fields
+    ]
+
+
+def test_adopt_delta_files_precomputed_entries(spark, tmpdir_clean):
+    """adopt_delta_files(entries=...) must reuse the caller's footer
+    stats verbatim (no second footer pass), rewrite only the path into
+    the new commit dir, respect the wanted-bucket filter, and move the
+    files."""
+    table = _crafted_disjoint_table(spark, tmpdir_clean)
+    # stage two more bucket-pure files through a throwaway dir
+    stage = os.path.join(tmpdir_clean, "stage_adopt")
+    df = spark.createDataFrame(
+        [(f"m_{i:03d}", 500 + i, 200 + i, "U") for i in range(8)],
+        "doc_id string, v long, lsn long, op string",
+    ).coalesce(1)
+    df.write.mode("overwrite").parquet(stage)
+    # name the file like the engine's bucket-pure output (bucket 0)
+    part = next(
+        fn for fn in os.listdir(stage) if fn.endswith(".parquet")
+    )
+    os.rename(
+        os.path.join(stage, part), os.path.join(stage, "part-00000-x.parquet")
+    )
+    pre = fmt._build_entries(stage, "", "doc_id", None)
+    assert len(pre) == 1 and pre[0]["rows"] == 8
+    got = table.adopt_delta_files(
+        stage, [0], key_column="doc_id", entries=pre
+    )
+    assert len(got) == 1
+    e = got[0]
+    # stats carried over verbatim; path rewritten into the commit dir
+    assert e["rows"] == 8 and e["min_key"] == "m_000"
+    assert e["max_key"] == "m_007" and e["min_lsn"] == 200
+    assert e["path"] != pre[0]["path"] and "commit-" in e["path"]
+    assert os.path.exists(os.path.join(table.root, e["path"]))
+    assert not os.path.exists(
+        os.path.join(stage, "part-00000-x.parquet")
+    )
+    # caller's entries are not mutated
+    assert pre[0]["path"] == "part-00000-x.parquet"
+    # wanted filter drops entries for untouched buckets
+    assert table.adopt_delta_files(
+        stage, [3], key_column="doc_id", entries=pre
+    ) == []
