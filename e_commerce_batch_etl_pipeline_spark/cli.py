@@ -124,6 +124,15 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--rebucket", type=int, default=None,
                    help="rewrite the table into N hash buckets (bucket-"
                         "count evolution; atomic snapshot commit)")
+    m.add_argument("--sort-by-key", action="store_true",
+                   help="sort-order compaction: write each folded bucket "
+                        "key-sorted and size-split so per-file manifest "
+                        "key ranges are tight — key_range/lookup reads "
+                        "then prune files INSIDE buckets")
+    m.add_argument("--target-rows-per-file", type=int, default=None,
+                   help="split sorted fold output into files of ~N rows "
+                        "(with --sort-by-key; each file covers a "
+                        "contiguous key range)")
 
     args = p.parse_args(argv)
 
@@ -353,7 +362,9 @@ def main(argv: list[str] | None = None) -> int:
             rebucket(table, spark, args.rebucket)
         snap = compact(table, spark,
                        max_files_per_bucket=args.max_files_per_bucket,
-                       max_buckets_per_pass=args.max_buckets_per_pass)
+                       max_buckets_per_pass=args.max_buckets_per_pass,
+                       sort_by_key=args.sort_by_key,
+                       target_rows_per_file=args.target_rows_per_file)
         dropped = expire_snapshots(table, keep_last=args.keep_snapshots)
         removed = (
             remove_orphans(table, min_age_sec=args.gc_min_age_sec)

@@ -1084,7 +1084,9 @@ class LakeTable:
     # ---------- write path ----------
 
     def write_data_files(
-        self, df: DataFrame, buckets_touched: list[int] | None = None
+        self, df: DataFrame, buckets_touched: list[int] | None = None,
+        sort_by_key: bool = False,
+        max_records_per_file: int | None = None,
     ) -> list[dict]:
         """Stage bucket-pure data files; returns file entries.
 
@@ -1099,6 +1101,13 @@ class LakeTable:
         attempt (uuid): crashed attempts never collide, files become live
         only when a snapshot referencing them publishes. Buckets that end
         up empty (all rows deleted) produce no file and drop out.
+
+        ``sort_by_key`` + ``max_records_per_file`` produce SORTED,
+        SIZE-SPLIT buckets (Iceberg sort-order compaction): several files
+        per bucket, each covering a tight contiguous key range — what
+        makes key_range/lookup pruning effective inside a bucket. Without
+        them a bucket's single fold file spans the bucket's whole
+        (hash-scattered) key range and can never be pruned by key.
         """
         snap = self.current()
         attempt = uuid.uuid4().hex[:12]
@@ -1107,8 +1116,23 @@ class LakeTable:
         out = df.drop("_bucket").repartition(
             snap.num_buckets, F.col(snap.key_column)
         )
+        if sort_by_key:
+            # Iceberg-style sort order: rows stream to the writer in key
+            # order, so maxRecordsPerFile's sequential splits each hold a
+            # CONTIGUOUS key range — per-file manifest [min_key, max_key]
+            # become tight and disjoint within a bucket, and key_range /
+            # lookup pruning works INSIDE buckets, not just across them.
+            # The split files keep the task's part-0000i index (Spark
+            # names them part-0000i-<uuid>.c000/.c001/...), so the
+            # filename↔bucket mapping survives the split.
+            out = out.sortWithinPartitions(snap.key_column)
+        writer = out.write.mode("overwrite")
+        if max_records_per_file is not None:
+            writer = writer.option(
+                "maxRecordsPerFile", int(max_records_per_file)
+            )
         with bucket_aligned_write(df.sparkSession):
-            out.write.mode("overwrite").parquet(out_dir)
+            writer.parquet(out_dir)
         wanted = set(buckets_touched) if buckets_touched is not None else None
         # empty partitions (bucket has no data) drop out inside
         return _build_entries(out_dir, rel_dir, snap.key_column, wanted)

@@ -30,6 +30,8 @@ def compact(
     spark: SparkSession,
     max_files_per_bucket: int = 1,
     max_buckets_per_pass: int | None = None,
+    sort_by_key: bool = False,
+    target_rows_per_file: int | None = None,
 ) -> Snapshot | None:
     """Rewrite over-fragmented buckets; returns the new snapshot or None.
 
@@ -48,14 +50,31 @@ def compact(
     LWW sort over the ~3× amplified input spilled past the disk. Chunked
     passes each fold in seconds, commit between epochs, and drain the
     most fragmented buckets first.
+
+    ``sort_by_key`` + ``target_rows_per_file``: Iceberg sort-order
+    compaction — each folded bucket is written key-sorted and split into
+    files of ~``target_rows_per_file`` rows, so every file's manifest
+    [min_key, max_key] is tight and disjoint and key_range/lookup reads
+    prune INSIDE buckets (a single unsorted fold file spans the bucket's
+    whole hash-scattered key range and can never be pruned by key).
+
+    Fragmentation counts DISTINCT LIVE COMMITS per bucket (files group
+    by their commit directory), not raw files: one sorted-split fold is
+    one commit regardless of how many range files it produced, so a
+    freshly sorted bucket is NOT re-folded forever, while every ingest
+    epoch still adds one unit of fragmentation exactly as before (one
+    file per bucket per commit in the unsorted layout).
     """
     snap = table.current()
-    per_bucket: dict[int, int] = {}
+    per_bucket: dict[int, set] = {}
     for f in snap.files:
-        per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+        per_bucket.setdefault(f["bucket"], set()).add(
+            os.path.dirname(f["path"])
+        )
     frag = sorted(
-        (b for b, n in per_bucket.items() if n > max_files_per_bucket),
-        key=lambda b: (-per_bucket[b], b),  # most fragmented first
+        (b for b, dirs in per_bucket.items()
+         if len(dirs) > max_files_per_bucket),
+        key=lambda b: (-len(per_bucket[b]), b),  # most fragmented first
     )
     if not frag:
         return None
@@ -74,7 +93,10 @@ def compact(
         f["path"] for f in snap.files if f["bucket"] in set(frag)
     ]
     df = table.read(spark, buckets=frag, snapshot=snap)
-    new_files = table.write_data_files(df, frag)
+    new_files = table.write_data_files(
+        df, frag, sort_by_key=sort_by_key,
+        max_records_per_file=target_rows_per_file,
+    )
     return table.commit(
         epoch=-(snap.version + 2),
         replaced_buckets=[],

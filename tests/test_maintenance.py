@@ -516,3 +516,56 @@ def test_compact_partial_progress_chunks(spark, tmpdir_clean):
     assert passes == 4
     assert frag_buckets() == set()
     assert _state(spark, table) == before
+
+
+def test_sorted_compaction_prunes_within_buckets(spark, replayed):
+    """Sort-order compaction (Iceberg rewrite_data_files with a sort
+    order): folded buckets are written key-sorted and size-split, so
+    per-file manifest [min_key, max_key] spans are tight and DISJOINT
+    within a bucket and key_range reads prune files INSIDE buckets —
+    an unsorted fold file spans the bucket's whole hash-scattered key
+    range and can never be pruned by key. Fragmentation counts distinct
+    live COMMITS (not files), so the split output is one unit and is
+    not re-folded forever, while a real ingest commit still counts."""
+    from pyspark.sql import functions as F
+
+    before = _state(spark, replayed)
+    snap = compact(replayed, spark, max_files_per_bucket=0,
+                   sort_by_key=True, target_rows_per_file=40)
+    assert snap is not None
+    assert _state(spark, replayed) == before
+
+    per_bucket = {}
+    for f in replayed.current().files:
+        per_bucket.setdefault(f["bucket"], []).append(f)
+    assert any(len(fs) > 1 for fs in per_bucket.values()), \
+        "expected size-split output (multiple files per bucket)"
+    for fs in per_bucket.values():
+        spans = sorted((f["min_key"], f["max_key"]) for f in fs)
+        assert all(lo <= hi for lo, hi in spans)
+        for (_, a_hi), (b_lo, _) in zip(spans, spans[1:]):
+            assert a_hi < b_lo, "split files must cover disjoint ranges"
+
+    # a point range scan now plans at most ONE file per bucket (ranges
+    # are disjoint within each bucket), not the whole table
+    total = sum(len(fs) for fs in per_bucket.values())
+    k = before[0][0]
+    scan = replayed.read(spark, key_range=(k, k))
+    assert [r["doc_id"] for r in scan.collect()] == [k]
+    planned = len(scan.inputFiles())
+    assert planned <= len(per_bucket) < total, (planned, total)
+
+    # split output is ONE commit per bucket — not fragmentation
+    assert compact(replayed, spark, max_files_per_bucket=1) is None
+
+    # a real ingest (delta) commit adds a second live commit to its
+    # bucket; dir-granular counting sees it and the fold runs again
+    one = replayed.read(spark, buckets=[0]).limit(1)
+    delta = (one.withColumn("op", F.lit("U"))
+                .withColumn("lsn", F.lit(999_999).cast("long")))
+    nf = replayed.write_data_files(delta, [0])
+    assert nf, "delta staging produced no file (row not in bucket 0?)"
+    replayed.commit(epoch=99, replaced_buckets=[0], new_files=nf,
+                    bucket_max_lsn={0: 999_999}, delta=True)
+    assert compact(replayed, spark, max_files_per_bucket=1) is not None
+    assert _state(spark, replayed) == before
