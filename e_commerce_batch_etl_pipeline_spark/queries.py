@@ -3299,11 +3299,43 @@ QUERIES["table_key_range_scan"] = table_key_range_scan
 ORACLES["table_key_range_scan"] = ORACLE_KEY_RANGE_SCAN
 
 
+def table_time_travel(spark, sf_dir):
+    """Time travel (tables/format.py:snapshot_at + read(snapshot=...)):
+    read the table AS OF the mid-stream committed version v1 — the
+    Delta ``VERSION AS OF`` / Iceberg ``snapshot-id`` surface. Old
+    snapshots stay readable because compaction/ingest only dereference
+    files, never delete them (until expire+GC). Oracle: the replay
+    truncated to the epochs committed at v1 (lsn < cut), layout- and
+    history-independent — a read that leaked post-v1 rows, lost
+    pre-compaction files, or resolved LWW against the wrong snapshot's
+    delta set hash-mismatches."""
+    fx = _table_fixture(spark, sf_dir)
+    table = fx["table"]
+    asof = table.read(spark, snapshot=table.snapshot_at(fx["v1"]))
+    return asof.select(
+        "doc_id",
+        "n_tok",
+        F.element_at("tokens", 1).alias("tok0"),
+        "source",
+    ).orderBy("doc_id")
+
+
+ORACLE_TIME_TRAVEL = f"""
+WITH {_TF_STATES_SQL}
+SELECT doc_id, n_tok, tok0, source
+FROM s1
+ORDER BY doc_id
+"""
+
+QUERIES["table_time_travel"] = table_time_travel
+ORACLES["table_time_travel"] = ORACLE_TIME_TRAVEL
+
+
 # =====================================================================
 # Driver-correctness-window ordering.
 #
 # The driver's correctness gate checks only the FIRST 50 entries of the
-# queries() dict (insertion order); the registry holds more (66 as of
+# queries() dict (insertion order); the registry holds more (67 as of
 # round 5, so exactly len(QUERIES)-50 must spill — asserted below so a
 # new registration that silently pushes an unlisted query past the cap
 # fails this module's import instead of going unnoticed). Rotation
@@ -3361,6 +3393,11 @@ _DRIVER_TAIL = [
     # green in r03+r04, and its production-path sibling
     # dedup_lsh_jaccard_verify stays in-window. Due a row in r06.
     "dedup_jaccard_nearest",
+    # 17th spill (round 5, makes room for table_time_travel): green in
+    # r02, r03 AND r04; its banding sibling dedup_minhash_lsh and the
+    # scale-path verify dedup_lsh_jaccard_verify stay in-window. Due a
+    # row in r06.
+    "dedup_minhash_signatures",
 ]
 
 QUERIES = {
