@@ -64,6 +64,10 @@ def main(argv: list[str] | None = None) -> int:
                         "the maintain entry point (background-job shape)")
     r.add_argument("--strict-dq", action="store_true",
                    help="re-verify LWW key-uniqueness with an extra job")
+    r.add_argument("--delta-blooms", action="store_true",
+                   help="MOR only: attach per-file key Bloom filters to "
+                        "delta files so point lookups skip the pending "
+                        "deltas that don't contain the key")
     r.add_argument("--no-audit-quarantine", action="store_true",
                    help="skip persisting quarantined envelopes (counts "
                         "still recorded in lineage)")
@@ -133,6 +137,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="split sorted fold output into files of ~N rows "
                         "(with --sort-by-key; each file covers a "
                         "contiguous key range)")
+    m.add_argument("--collect-blooms", action="store_true",
+                   help="attach per-file key Bloom filters to the fold "
+                        "output (negative point lookups then skip whole "
+                        "buckets)")
 
     args = p.parse_args(argv)
 
@@ -209,6 +217,7 @@ def main(argv: list[str] | None = None) -> int:
             mor_compact_files=mcf,
             strict_dq=args.strict_dq,
             audit_quarantine=not args.no_audit_quarantine,
+            delta_blooms=args.delta_blooms,
         )
         t0 = time.time()
         results = eng.run(max_epochs=args.max_epochs)
@@ -364,7 +373,8 @@ def main(argv: list[str] | None = None) -> int:
                        max_files_per_bucket=args.max_files_per_bucket,
                        max_buckets_per_pass=args.max_buckets_per_pass,
                        sort_by_key=args.sort_by_key,
-                       target_rows_per_file=args.target_rows_per_file)
+                       target_rows_per_file=args.target_rows_per_file,
+                       collect_blooms=args.collect_blooms)
         dropped = expire_snapshots(table, keep_last=args.keep_snapshots)
         removed = (
             remove_orphans(table, min_age_sec=args.gc_min_age_sec)

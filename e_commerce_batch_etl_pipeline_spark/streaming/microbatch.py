@@ -133,6 +133,7 @@ class CdcEngine:
         mor_compact_files: int | None = 8,
         stats_max_footer_files: int = 256,
         commit_retries: int = 5,
+        delta_blooms: bool = False,
     ):
         """``merge_mode``:
 
@@ -150,6 +151,15 @@ class CdcEngine:
           are small relative to the table — the 10^10 steady state — or
           when uniform change spread makes CoW rewrite the whole table
           every epoch.
+
+        ``delta_blooms``: attach a per-file key Bloom filter to every
+        MOR delta file at adoption time (tables/bloom.py). Point lookups
+        then skip the pending deltas that don't contain the probed key —
+        the deferred-compaction read tax min/max stats cannot touch
+        (random update keys span each delta's whole range). Costs one
+        extra column-pruned O(changes) pass per epoch over the staged
+        change-set; off by default so replay-throughput benchmarks are
+        unaffected unless asked for.
         """
         self.spark = spark
         self.table = table
@@ -165,6 +175,7 @@ class CdcEngine:
         self.mor_compact_files = mor_compact_files
         self.stats_max_footer_files = stats_max_footer_files
         self.commit_retries = commit_retries
+        self.delta_blooms = delta_blooms
         os.makedirs(checkpoint_dir, exist_ok=True)
         os.makedirs(os.path.join(checkpoint_dir, "lineage"), exist_ok=True)
         os.makedirs(os.path.join(checkpoint_dir, "quarantine"), exist_ok=True)
@@ -538,6 +549,19 @@ class CdcEngine:
             # the fold (measured: a 13M-row inline fold cost one 123 s
             # epoch in the 55M soak; see BASELINE.md).
             if self.merge_mode == "mor":
+                if self.delta_blooms and staged_entries:
+                    # per-bucket filters from the staged files (column-
+                    # pruned key read, O(changes)); entries keep the
+                    # bloom ref through adoption's path rewrite
+                    from ..tables.bloom import attach_blooms, bucket_blooms
+
+                    blooms = bucket_blooms(
+                        self.spark.read.parquet(valid_dir),
+                        snap.key_column, B,
+                    )
+                    staged_entries = attach_blooms(
+                        self.table.root, staged_entries, blooms
+                    )
                 new_files = self.table.adopt_delta_files(
                     valid_dir, touched, key_column=snap.key_column,
                     entries=staged_entries,

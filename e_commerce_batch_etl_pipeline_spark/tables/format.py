@@ -730,6 +730,23 @@ class LakeTable:
                 files = [f for f in files if _may_contain_keys(f, sk)]
             except TypeError:
                 sk = list(ks)
+            # Bloom pruning answers what min/max cannot — "is THIS key in
+            # THIS file?" — which is what prunes delta files carrying
+            # hash-scattered update keys (their [min,max] spans nearly the
+            # whole bucket). Probes hash driver-side with the Spark-equal
+            # pure-Python XXH64 (zero extra jobs); unsupported key types,
+            # bloom-less entries, and large probe sets fail OPEN.
+            if ks and len(ks) <= 10000 and any("bloom" in f for f in files):
+                from .bloom import key_hash, may_contain
+
+                ktype = dict(
+                    (n, t) for n, t, _ in snap.schema.fields
+                )[snap.key_column]
+                hs = [key_hash(k, ktype) for k in ks]
+                if all(h is not None for h in hs):
+                    files = [
+                        f for f in files if may_contain(f, self.root, hs)
+                    ]
             # stats pruning is file-granular; the row-exact restriction:
             # small sets push an In literal list (reaches row-group
             # stats), large sets broadcast-semi-join (a 10^5-literal In
@@ -1087,6 +1104,7 @@ class LakeTable:
         self, df: DataFrame, buckets_touched: list[int] | None = None,
         sort_by_key: bool = False,
         max_records_per_file: int | None = None,
+        collect_blooms: bool = False,
     ) -> list[dict]:
         """Stage bucket-pure data files; returns file entries.
 
@@ -1135,7 +1153,20 @@ class LakeTable:
             writer.parquet(out_dir)
         wanted = set(buckets_touched) if buckets_touched is not None else None
         # empty partitions (bucket has no data) drop out inside
-        return _build_entries(out_dir, rel_dir, snap.key_column, wanted)
+        entries = _build_entries(out_dir, rel_dir, snap.key_column, wanted)
+        if collect_blooms and entries:
+            # per-bucket Bloom filters from the WRITTEN files (a column-
+            # pruned key scan — never re-executes the caller's plan). For
+            # size-split buckets the per-bucket filter attaches to every
+            # split file as a sound superset; negative probes still prune.
+            from .bloom import attach_blooms, bucket_blooms
+
+            written = df.sparkSession.read.parquet(out_dir)
+            blooms = bucket_blooms(
+                written, snap.key_column, snap.num_buckets
+            )
+            entries = attach_blooms(self.root, entries, blooms)
+        return entries
 
     def commit(
         self,

@@ -32,6 +32,7 @@ def compact(
     max_buckets_per_pass: int | None = None,
     sort_by_key: bool = False,
     target_rows_per_file: int | None = None,
+    collect_blooms: bool = False,
 ) -> Snapshot | None:
     """Rewrite over-fragmented buckets; returns the new snapshot or None.
 
@@ -96,6 +97,7 @@ def compact(
     new_files = table.write_data_files(
         df, frag, sort_by_key=sort_by_key,
         max_records_per_file=target_rows_per_file,
+        collect_blooms=collect_blooms,
     )
     return table.commit(
         epoch=-(snap.version + 2),
@@ -161,6 +163,9 @@ def remove_orphans(
             except FileNotFoundError:
                 continue  # expired between listdir and open — not live
             live.update(f["path"] for f in snap.files)
+            live.update(
+                f["bloom"]["path"] for f in snap.files if "bloom" in f
+            )
             live_manifests.update((raw.get("manifests") or {}).values())
         data_root = os.path.join(table.root, "data")
         now = time.time()
@@ -201,6 +206,17 @@ def remove_orphans(
             if fn not in live_manifests and _old_enough(p):
                 os.remove(p)
                 removed.append(os.path.join("metadata", fn))
+        # bloom sidecars follow the same rule as data files: content-
+        # addressed + immutable, dead once no retained snapshot's entries
+        # reference them (crashed pre-publish attempts, expired history)
+        bloom_dir = os.path.join(md_dir, "blooms")
+        if os.path.isdir(bloom_dir):
+            for fn in os.listdir(bloom_dir):
+                rel = os.path.join("metadata", "blooms", fn)
+                p = os.path.join(bloom_dir, fn)
+                if rel not in live and _old_enough(p):
+                    os.remove(p)
+                    removed.append(rel)
     return removed
 
 
