@@ -64,6 +64,18 @@ def main(argv: list[str] | None = None) -> int:
                         "the maintain entry point (background-job shape)")
     r.add_argument("--strict-dq", action="store_true",
                    help="re-verify LWW key-uniqueness with an extra job")
+    r.add_argument("--follow", action="store_true",
+                   help="tail mode: keep polling the WAL for new "
+                        "COMPLETE segments (_SUCCESS marker) and apply "
+                        "them as they land, instead of one-shot replay")
+    r.add_argument("--poll-sec", type=float, default=2.0,
+                   help="tail mode: seconds between WAL listings")
+    r.add_argument("--idle-timeout", type=float, default=None,
+                   help="tail mode: exit after this many seconds with "
+                        "no new epochs (default: tail forever)")
+    r.add_argument("--stop-file", default=None,
+                   help="tail mode: exit gracefully (finish in-flight "
+                        "epoch, checkpoint) once this path exists")
     r.add_argument("--delta-blooms", action="store_true",
                    help="MOR only: attach per-file key Bloom filters to "
                         "delta files so point lookups skip the pending "
@@ -220,7 +232,15 @@ def main(argv: list[str] | None = None) -> int:
             delta_blooms=args.delta_blooms,
         )
         t0 = time.time()
-        results = eng.run(max_epochs=args.max_epochs)
+        if args.follow:
+            results = eng.follow(
+                poll_sec=args.poll_sec,
+                idle_timeout_sec=args.idle_timeout,
+                max_epochs=args.max_epochs,
+                stop_file=args.stop_file,
+            )
+        else:
+            results = eng.run(max_epochs=args.max_epochs)
         wall = time.time() - t0
         applied = sum(r.rows_applied for r in results)
         print(json.dumps({

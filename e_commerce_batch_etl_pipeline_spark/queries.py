@@ -3331,6 +3331,79 @@ QUERIES["table_time_travel"] = table_time_travel
 ORACLES["table_time_travel"] = ORACLE_TIME_TRAVEL
 
 
+_BLOOM_FIXTURE: dict = {}
+# present-candidate keys + absent keys that SORT inside the live range —
+# min/max stats cannot prune the absent ones; only the per-file Bloom
+# filters can (and a false negative on a present key would drop its row
+# and hash-mismatch)
+_BLOOM_LOOKUP_KEYS = [f"u{i:09d}" for i in range(15)] + [
+    f"u{i:09d}x" for i in range(10)
+]
+
+
+def table_bloom_lookup(spark, sf_dir):
+    """Point lookup through per-file key Bloom filters (tables/bloom.py):
+    replay the fixture WAL into a merge-on-read table with DEFERRED
+    compaction and ``delta_blooms=True``, so every pending delta file
+    carries a content-addressed bloom sidecar, then look up a key set of
+    present + in-range-but-absent keys. The read path prunes delta files
+    whose filter proves the key absent BEFORE the LWW union is planned;
+    the probe hashes come from the pure-Python XXH64 that must equal
+    Spark's xxhash64 bit-for-bit. Oracle: plain WHERE doc_id IN (...)
+    over the layout-independent full-replay state — a false negative
+    anywhere in the hash/bit contract drops a live row and
+    hash-mismatches."""
+    import tempfile
+
+    from .sources.wal import WalSource
+    from .streaming.bootstrap import bootstrap_table
+    from .streaming.microbatch import CdcEngine
+    from .tables.format import TableSchema
+
+    key = os.path.abspath(sf_dir)
+    if key not in _BLOOM_FIXTURE:
+        fx = _table_fixture(spark, sf_dir)  # reuse its deterministic WAL
+        root = tempfile.mkdtemp(prefix="bloom_fx_")
+        schema = TableSchema(
+            fields=[
+                ("doc_id", "string", False),
+                ("tokens", "array<int>", True),
+                ("n_tok", "int", True),
+                ("source", "string", True),
+            ]
+        )
+        empty = spark.createDataFrame([], schema.to_struct())
+        table = bootstrap_table(
+            os.path.join(root, "table"), empty, num_buckets=8
+        )
+        engine = CdcEngine(
+            spark, table, WalSource(fx["wal_root"]),
+            os.path.join(root, "ckpt"),
+            merge_mode="mor", mor_compact_files=None, delta_blooms=True,
+        )
+        engine.run()
+        _BLOOM_FIXTURE[key] = table
+    rows = _BLOOM_FIXTURE[key].lookup(spark, _BLOOM_LOOKUP_KEYS)
+    return rows.select(
+        "doc_id",
+        "n_tok",
+        F.element_at("tokens", 1).alias("tok0"),
+        "source",
+    ).orderBy("doc_id")
+
+
+ORACLE_BLOOM_LOOKUP = f"""
+WITH {_TF_STATES_SQL}
+SELECT doc_id, n_tok, tok0, source
+FROM s2
+WHERE doc_id IN ({", ".join(repr(k) for k in _BLOOM_LOOKUP_KEYS)})
+ORDER BY doc_id
+"""
+
+QUERIES["table_bloom_lookup"] = table_bloom_lookup
+ORACLES["table_bloom_lookup"] = ORACLE_BLOOM_LOOKUP
+
+
 # =====================================================================
 # Driver-correctness-window ordering.
 #
@@ -3398,6 +3471,10 @@ _DRIVER_TAIL = [
     # scale-path verify dedup_lsh_jaccard_verify stay in-window. Due a
     # row in r06.
     "dedup_minhash_signatures",
+    # 18th spill (round 5, makes room for table_bloom_lookup): green in
+    # r02, r03 AND r04; map-only and plan-shape-tested
+    # (test_similarity.py). Due a row in r06.
+    "dedup_simhash",
 ]
 
 QUERIES = {

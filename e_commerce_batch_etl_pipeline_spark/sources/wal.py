@@ -36,6 +36,28 @@ class WalSource:
     def epochs_after(self, last_committed: int) -> list[int]:
         return [e for e in self.epochs() if e > last_committed]
 
+    def is_complete(self, epoch: int) -> bool:
+        """A segment is consumable once its writer finished. Spark (and
+        Hadoop-committer writers generally) mark that with ``_SUCCESS``;
+        a directory listed mid-write has no marker yet. Only the tail
+        loop needs this — one-shot ``run()`` replays a WAL that already
+        exists in full."""
+        return os.path.exists(
+            os.path.join(self.wal_root, f"epoch-{epoch:05d}", "_SUCCESS")
+        )
+
+    def complete_epochs_after(self, last_committed: int) -> list[int]:
+        """Epochs safe for the tail loop: complete segments, stopping at
+        the FIRST incomplete one — later complete segments wait behind
+        it, because epochs must apply in order (watermarks and the fence
+        horizon assume lsn grows with epoch)."""
+        out = []
+        for e in self.epochs_after(last_committed):
+            if not self.is_complete(e):
+                break
+            out.append(e)
+        return out
+
     def read_epoch(self, spark: SparkSession, epoch: int) -> DataFrame:
         return spark.read.parquet(
             os.path.join(self.wal_root, f"epoch-{epoch:05d}")

@@ -276,6 +276,73 @@ class CdcEngine:
                 pass
         return results
 
+    def follow(
+        self,
+        poll_sec: float = 2.0,
+        idle_timeout_sec: float | None = None,
+        max_epochs: int | None = None,
+        stop_file: str | None = None,
+    ) -> list[EpochResult]:
+        """Tail the WAL: apply new epochs as their segments land.
+
+        The continuous form of ``run()`` — the binlog-tail shape of the
+        north rule, where the landing zone keeps growing while the
+        engine runs. Differences from one-shot replay:
+
+        - only COMPLETE segments are consumed (``_SUCCESS`` marker), and
+          consumption stops at the first incomplete one so a slow
+          upstream writer can never cause a partial-epoch read or an
+          out-of-order apply (WalSource.complete_epochs_after);
+        - between batches the loop sleeps ``poll_sec`` (object-store
+          LIST cadence — cheap: one listdir, no Spark job);
+        - it returns when ``stop_file`` appears (graceful ops shutdown:
+          finish the in-flight epoch, checkpoint, exit), after
+          ``idle_timeout_sec`` with no new work (None = tail forever),
+          or once ``max_epochs`` have been applied.
+
+        Crash safety is unchanged: every epoch checkpoints after commit,
+        so a killed tail resumes exactly where it stopped; redelivered
+        epochs hit the snapshot fence and no-op. Run history gets one
+        record for the whole tail session.
+        """
+        t0 = time.time()
+        results: list[EpochResult] = []
+        idle_since = time.time()
+        err: BaseException | None = None
+        try:
+            while True:
+                if stop_file is not None and os.path.exists(stop_file):
+                    break
+                pending = self.wal.complete_epochs_after(
+                    self.last_committed_epoch()
+                )
+                if max_epochs is not None:
+                    pending = pending[: max_epochs - len(results)]
+                if pending:
+                    for e in pending:
+                        results.append(self.apply_epoch(e))
+                        self._write_checkpoint(e)
+                        if (stop_file is not None
+                                and os.path.exists(stop_file)):
+                            break
+                    idle_since = time.time()
+                if max_epochs is not None and len(results) >= max_epochs:
+                    break
+                if not pending:
+                    if (idle_timeout_sec is not None
+                            and time.time() - idle_since >= idle_timeout_sec):
+                        break
+                    time.sleep(poll_sec)
+        except BaseException as exc:
+            err = exc
+            raise
+        finally:
+            try:
+                self._append_run_history(results, time.time() - t0, err)
+            except Exception:
+                pass
+        return results
+
     def _append_run_history(
         self, results: list, dur: float, err: BaseException | None = None
     ) -> None:
