@@ -120,6 +120,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="include the tail of this checkpoint's "
                          "run_history.jsonl")
 
+    tg = sub.add_parser("tag")
+    tg.add_argument("--table", required=True)
+    tg.add_argument("--name", required=True,
+                    help="ref name (alnum/._-); tags pin a snapshot "
+                         "against expire_snapshots retention")
+    tg.add_argument("--version", type=int, default=None,
+                    help="snapshot version to tag (default: current)")
+    tg.add_argument("--delete", action="store_true",
+                    help="drop the tag instead of creating it")
+
     vf = sub.add_parser("verify")
     vf.add_argument("--table", required=True)
 
@@ -181,6 +191,7 @@ def main(argv: list[str] | None = None) -> int:
             "fences": len(snap.fences),
             "min_fenced_epoch": snap.min_fenced_epoch,
             "snapshots_retained": len(table.history()),
+            "tags": table.tags(),
             "committed_at": snap.committed_at,
         }
         if args.checkpoint:
@@ -189,6 +200,21 @@ def main(argv: list[str] | None = None) -> int:
                 runs = [json.loads(line) for line in open(hist_path)]
                 out["runs"] = runs[-5:]
         print(json.dumps(out))
+        return 0
+
+    if args.cmd == "tag":
+        # pure metadata — no Spark session
+        from .tables.format import LakeTable
+
+        table = LakeTable(args.table)
+        if args.delete:
+            table.drop_tag(args.name)
+            print(json.dumps({"dropped": args.name,
+                              "tags": table.tags()}))
+        else:
+            v = table.tag(args.name, version=args.version)
+            print(json.dumps({"tagged": args.name, "version": v,
+                              "tags": table.tags()}))
         return 0
 
     from .session import build_session

@@ -646,8 +646,11 @@ class LakeTable:
         with open(os.path.join(md, name)) as f:
             return Snapshot.from_json(json.load(f), md_dir=md)
 
-    def snapshot_at(self, version: int) -> Snapshot:
-        """Time travel: load a specific snapshot version."""
+    def snapshot_at(self, version: int | str) -> Snapshot:
+        """Time travel: load a snapshot by version number or TAG name
+        (the Iceberg ``VERSION AS OF <n>`` / ``ref`` surface)."""
+        if isinstance(version, str):
+            version = self.ref(version)
         md = os.path.join(self.root, "metadata")
         p = os.path.join(md, f"snapshot-{version:08d}.json")
         with open(p) as f:
@@ -660,6 +663,70 @@ class LakeTable:
             for fn in os.listdir(md)
             if fn.startswith("snapshot-")
         )
+
+    # ---------- named refs (tags) ----------
+    #
+    # Iceberg tag shape: a named pointer to a committed snapshot version,
+    # stored as one small JSON per ref under metadata/refs/. Tags make a
+    # version ADDRESSABLE ("prod", "pre-migration", an audit cut) and,
+    # more importantly, RETAINED: expire_snapshots never drops a tagged
+    # version, so its files stay live through remove_orphans — time
+    # travel to a tag keeps working under aggressive retention.
+
+    @staticmethod
+    def _check_ref_name(name: str) -> str:
+        import re as _re
+
+        if not _re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,99}", name):
+            raise ValueError(
+                f"invalid ref name {name!r} (alnum start; alnum/._- only)"
+            )
+        return name
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Create/move a named tag; returns the tagged version. Atomic
+        (tmp + rename), and validated against an existing snapshot so a
+        tag can never dangle at creation time."""
+        self._check_ref_name(name)
+        v = self.current().version if version is None else int(version)
+        p = os.path.join(self.root, "metadata",
+                         f"snapshot-{v:08d}.json")
+        if not os.path.exists(p):
+            raise FileNotFoundError(f"no snapshot version {v} to tag")
+        refs = os.path.join(self.root, "metadata", "refs")
+        os.makedirs(refs, exist_ok=True)
+        tmp = os.path.join(refs, f".{name}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"version": v, "created_at": time.time()}, f)
+        os.replace(tmp, os.path.join(refs, f"{name}.json"))
+        return v
+
+    def ref(self, name: str) -> int:
+        """Resolve a tag to its snapshot version."""
+        self._check_ref_name(name)
+        p = os.path.join(self.root, "metadata", "refs", f"{name}.json")
+        with open(p) as f:
+            return int(json.load(f)["version"])
+
+    def tags(self) -> dict[str, int]:
+        refs = os.path.join(self.root, "metadata", "refs")
+        if not os.path.isdir(refs):
+            return {}
+        out = {}
+        for fn in sorted(os.listdir(refs)):
+            if fn.endswith(".json") and not fn.startswith("."):
+                with open(os.path.join(refs, fn)) as f:
+                    out[fn[:-5]] = int(json.load(f)["version"])
+        return out
+
+    def drop_tag(self, name: str) -> None:
+        self._check_ref_name(name)
+        try:
+            os.remove(
+                os.path.join(self.root, "metadata", "refs", f"{name}.json")
+            )
+        except FileNotFoundError:
+            pass
 
     # ---------- read path ----------
 

@@ -112,6 +112,12 @@ def compact(
 def expire_snapshots(table: LakeTable, keep_last: int = 5) -> list[int]:
     """Delete snapshot metadata older than the last ``keep_last``.
 
+    TAGGED versions (table.tags() — the Iceberg ref surface) are never
+    expired: a tag is a retention pin, so time travel to "prod" or an
+    audit cut survives aggressive retention, and the tagged snapshot's
+    files stay in remove_orphans' live set (its walk covers every
+    snapshot still on disk).
+
     Holds the commit lock: another maintenance process may be walking
     ``history()`` → ``snapshot_at()`` (remove_orphans' live-set scan)
     and must not see snapshots vanish mid-walk. Note that expiring a
@@ -121,7 +127,8 @@ def expire_snapshots(table: LakeTable, keep_last: int = 5) -> list[int]:
     with commit_lock(table.root):
         versions = table.history()
         current = table.current().version
-        to_drop = [v for v in versions[:-keep_last] if v != current]
+        pinned = set(table.tags().values()) | {current}
+        to_drop = [v for v in versions[:-keep_last] if v not in pinned]
         for v in to_drop:
             p = os.path.join(table.root, "metadata", f"snapshot-{v:08d}.json")
             if os.path.exists(p):
