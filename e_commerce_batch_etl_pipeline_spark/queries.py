@@ -3404,6 +3404,134 @@ QUERIES["table_bloom_lookup"] = table_bloom_lookup
 ORACLES["table_bloom_lookup"] = ORACLE_BLOOM_LOOKUP
 
 
+_EVO_FIXTURE: dict = {}
+
+
+def table_schema_evolution(spark, sf_dir):
+    """Mid-stream schema evolution under the DuckDB gate — the north
+    rule's metadata-only-DDL pillar driver-checked end-to-end: epochs
+    0-1 carry the original envelope shape; from epoch 2 the envelopes
+    ADD a payload column (``rank:int``) and WIDEN ``n_tok`` to bigint.
+    The engine reacts per its envelope-shape rule
+    (streaming/microbatch.py step 3): additive column + type widening
+    as metadata-only snapshot DDL, no file rewrite — old files
+    reconcile at read time (missing column → typed NULL, int32 n_tok →
+    upcast). Final state: rows last written before the evolution read
+    rank=NULL; rows won by an evolved envelope carry rank=lsn%7. The
+    oracle derives exactly that from the replay, with n_tok::BIGINT —
+    so a wrong widening path fails the SCHEMA match and a wrong
+    NULL-backfill fails the value hash."""
+    import tempfile
+
+    from .sources.wal import WalSource
+    from .streaming.bootstrap import bootstrap_table
+    from .streaming.microbatch import CdcEngine
+    from .tables.format import TableSchema
+
+    key = os.path.abspath(sf_dir)
+    if key not in _EVO_FIXTURE:
+        env = _events_as_envelopes(spark, sf_dir)
+        n = env.agg(F.max("lsn")).collect()[0][0] + 1
+        seg = max(1, (n + 3) // 4)
+        # Block keys (doc_id = lsn // Q): each key receives Q consecutive
+        # writes then NEVER again — so keys whose block ends before the
+        # evolution cut keep their LAST pre-evolution row and must read
+        # rank=NULL from old files (the metadata-only backfill), while
+        # later blocks' winners carry the new column. Dense per-user keys
+        # would make the NULL branch vacuous (every user's max lsn lands
+        # in the final epoch).
+        q = max(1, seg // 8)
+        t0 = F.pmod(F.col("lsn"), F.lit(50257)).cast("int")
+        toks = F.slice(
+            F.array(t0, t0 + F.lit(1), t0 + F.lit(2)),
+            F.lit(1),
+            (F.lit(1) + F.pmod(F.col("lsn"), F.lit(3))).cast("int"),
+        )
+        base_cols = [
+            F.col("lsn"),
+            (F.col("lsn") / seg).cast("int").alias("epoch"),
+            F.col("op"),
+            F.format_string(
+                "u%09d", (F.col("lsn") / q).cast("int")
+            ).alias("doc_id"),
+            F.when(F.col("op") == "D", F.lit(None)).otherwise(toks)
+            .alias("tokens"),
+            F.when(F.col("op") == "D", F.lit(None))
+            .otherwise(F.col("event_type")).alias("source"),
+            F.timestamp_seconds(F.col("lsn")).alias("ts"),
+        ]
+        envelopes = env.select(*base_cols)
+        root = tempfile.mkdtemp(prefix="evo_fixture_")
+        wal_root = os.path.join(root, "wal")
+        for e in range(4):
+            part = envelopes.filter(F.col("epoch") == e)
+            if e < 2:  # original shape: n_tok:int, no rank
+                part = part.withColumn(
+                    "n_tok", F.lit(None).cast("int")
+                )
+            else:      # evolved shape: n_tok widened, rank added
+                part = part.withColumn(
+                    "n_tok", F.lit(None).cast("bigint")
+                ).withColumn(
+                    "rank",
+                    F.when(F.col("op") == "D", F.lit(None)).otherwise(
+                        F.pmod(F.col("lsn"), F.lit(7))
+                    ).cast("int"),
+                )
+            part.write.mode("overwrite").parquet(
+                os.path.join(wal_root, f"epoch-{e:05d}")
+            )
+        schema = TableSchema(
+            fields=[
+                ("doc_id", "string", False),
+                ("tokens", "array<int>", True),
+                ("n_tok", "int", True),
+                ("source", "string", True),
+            ]
+        )
+        empty = spark.createDataFrame([], schema.to_struct())
+        table = bootstrap_table(
+            os.path.join(root, "table"), empty, num_buckets=8
+        )
+        CdcEngine(
+            spark, table, WalSource(wal_root), os.path.join(root, "ckpt")
+        ).run()
+        _EVO_FIXTURE[key] = table
+    final = _EVO_FIXTURE[key].read(spark)
+    return final.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.element_at("tokens", 1).alias("tok0"),
+        "source",
+        "rank",
+    ).orderBy("doc_id")
+
+
+ORACLE_SCHEMA_EVOLUTION = f"""
+WITH env0 AS ({_TF_ENV_SQL}),
+seg AS (SELECT (max(lsn) + 4) // 4 AS s FROM env0),
+env AS (
+  SELECT lsn, op,
+         printf('u%09d', lsn // greatest(1, (SELECT s FROM seg) // 8))
+           AS doc_id,
+         source
+  FROM env0
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+  FROM env
+)
+SELECT doc_id, (1 + lsn % 3)::BIGINT AS n_tok,
+       (lsn % 50257)::INT AS tok0, source,
+       CASE WHEN lsn >= 2 * (SELECT s FROM seg)
+            THEN (lsn % 7)::INT END AS rank
+FROM r2 WHERE rn = 1 AND op <> 'D' ORDER BY doc_id
+"""
+
+QUERIES["table_schema_evolution"] = table_schema_evolution
+ORACLES["table_schema_evolution"] = ORACLE_SCHEMA_EVOLUTION
+
+
 # =====================================================================
 # Driver-correctness-window ordering.
 #
@@ -3475,6 +3603,10 @@ _DRIVER_TAIL = [
     # r02, r03 AND r04; map-only and plan-shape-tested
     # (test_similarity.py). Due a row in r06.
     "dedup_simhash",
+    # 19th spill (round 5, makes room for table_schema_evolution): green
+    # in r02, r03 AND r04; the deliberate brute-force BASELINE — its ANN
+    # siblings and both recall queries stay in-window. Due a row in r06.
+    "embed_cosine_topk",
 ]
 
 QUERIES = {
