@@ -908,15 +908,30 @@ class LakeTable:
         key_type = dict(
             (n, t) for n, t, _ in snap.schema.fields
         )[key]
-        kdf = spark.createDataFrame(
-            [(k,) for k in keys], f"{key} {key_type}"
-        )
-        buckets = sorted(
-            r["b"]
-            for r in kdf.select(
-                bucket_expr(key, snap.num_buckets).alias("b")
-            ).distinct().collect()
-        )
+        # Bucket routing is pmod(murmur3(key), B) — computed driver-side
+        # by the Spark-bit-equal pure-Python replica (tables/murmur.py,
+        # property-tested vs bucket_expr), so the serving path plans its
+        # read with ZERO extra Spark jobs. Unsupported key types fall
+        # back to the one-job Spark route; either way the routed read is
+        # row-exact below.
+        from .murmur import key_bucket
+
+        route = [
+            key_bucket(k, key_type, snap.num_buckets)
+            for k in keys if k is not None  # NULL matches no key
+        ]
+        if any(b is None for b in route):
+            kdf = spark.createDataFrame(
+                [(k,) for k in keys], f"{key} {key_type}"
+            )
+            buckets = sorted(
+                r["b"]
+                for r in kdf.select(
+                    bucket_expr(key, snap.num_buckets).alias("b")
+                ).distinct().collect()
+            )
+        else:
+            buckets = sorted({b for b in route if b is not None})
         return self.read(spark, buckets=buckets, snapshot=snap, keys=keys)
 
     def changes_between(

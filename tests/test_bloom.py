@@ -286,3 +286,60 @@ def test_unsupported_key_type_fails_open():
     assert key_hash(None, "string") is None
     assert key_hash("x", "string") is not None
     assert key_hash(7, "bigint") == xxh64_long(7)
+
+
+def test_python_murmur3_matches_spark_and_bucket_expr(spark):
+    """The zero-job lookup route (tables/murmur.py) must equal Spark's
+    Murmur3Hash — including its signed-byte tail quirk — and therefore
+    bucket_expr. A mismatch would route a lookup to the wrong bucket
+    and silently return no rows."""
+    from pyspark.sql import functions as F, types as T
+
+    from e_commerce_batch_etl_pipeline_spark.tables.format import bucket_expr
+    from e_commerce_batch_etl_pipeline_spark.tables.murmur import (
+        key_bucket,
+        murmur3_bytes,
+        murmur3_int,
+        murmur3_long,
+    )
+
+    rnd = random.Random(17)
+    strs = ["", "a", "doc_000000001", "é漢字🚀", "\x7f\x80úÿ", "x" * 37] + [
+        "".join(rnd.choices(string.printable, k=rnd.randint(0, 40)))
+        for _ in range(40)
+    ]
+    rows = (
+        spark.createDataFrame([(s,) for s in strs], "s string")
+        .select("s", F.hash("s").alias("h"),
+                bucket_expr("s", 16).alias("b"),
+                bucket_expr("s", 1024).alias("b2"))
+        .collect()
+    )
+    for r in rows:
+        assert murmur3_bytes(r["s"].encode("utf-8")) == r["h"]
+        assert key_bucket(r["s"], "string", 16) == r["b"]
+        assert key_bucket(r["s"], "string", 1024) == r["b2"]
+
+    longs = [0, 1, -1, 42, 2 ** 62, -(2 ** 62)] + [
+        rnd.randint(-(2 ** 63), 2 ** 63 - 1) for _ in range(30)
+    ]
+    for r in (
+        spark.createDataFrame([(v,) for v in longs], "v long")
+        .select("v", F.hash("v").alias("h"),
+                bucket_expr("v", 32).alias("b")).collect()
+    ):
+        assert murmur3_long(int(r["v"])) == r["h"]
+        assert key_bucket(int(r["v"]), "bigint", 32) == r["b"]
+
+    ints = [0, 1, -1, 2 ** 31 - 1, -(2 ** 31)] + [
+        rnd.randint(-(2 ** 31), 2 ** 31 - 1) for _ in range(30)
+    ]
+    schema = T.StructType([T.StructField("v", T.IntegerType())])
+    for r in (
+        spark.createDataFrame([(v,) for v in ints], schema)
+        .select("v", F.hash("v").alias("h")).collect()
+    ):
+        assert murmur3_int(int(r["v"])) == r["h"]
+
+    assert key_bucket(1.5, "double", 8) is None  # unsupported → fallback
+    assert key_bucket(None, "string", 8) is None
