@@ -120,6 +120,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="include the tail of this checkpoint's "
                          "run_history.jsonl")
 
+    ins = sub.add_parser("inspect")
+    ins.add_argument("--table", required=True)
+    ins.add_argument("--what", default="files",
+                     choices=["files", "snapshots", "fences", "tags"],
+                     help="metadata table to query (Iceberg $files/"
+                          "$snapshots inspection shape)")
+    ins.add_argument("--sql", default=None,
+                     help="optional SQL over the metadata registered as "
+                          "view 'meta' (e.g. \"SELECT bucket, count(*) "
+                          "FROM meta GROUP BY bucket\")")
+    ins.add_argument("--limit", type=int, default=20)
+
     tg = sub.add_parser("tag")
     tg.add_argument("--table", required=True)
     tg.add_argument("--name", required=True,
@@ -391,6 +403,16 @@ def main(argv: list[str] | None = None) -> int:
                     for r in found
                 ],
             }))
+    elif args.cmd == "inspect":
+        from .tables.format import LakeTable
+
+        df = LakeTable(args.table).meta(spark, args.what)
+        if args.sql:
+            df.createOrReplaceTempView("meta")
+            df = spark.sql(args.sql)
+        rows = [r.asDict() for r in df.limit(args.limit).collect()]
+        print(json.dumps({"what": args.what, "rows": rows,
+                          "shown": len(rows)}))
     elif args.cmd == "verify":
         # write-verify read-back (reference K4,
         # notebooks/04_write_parquet.py:119-139): manifest files on

@@ -728,6 +728,80 @@ class LakeTable:
         except FileNotFoundError:
             pass
 
+    # ---------- metadata tables ----------
+
+    def meta(self, spark: SparkSession, kind: str = "files",
+             snapshot: Snapshot | None = None) -> DataFrame:
+        """Metadata as queryable DataFrames (Iceberg's ``table$files`` /
+        ``$snapshots`` inspection surface): ops questions — fragmentation
+        per bucket, delta backlog by age, stats coverage, fence spread —
+        become plain Spark SQL over table metadata, no data files read.
+        Built from the already-driver-resident manifest entries, so cost
+        is O(live files) metadata, same as any snapshot load.
+
+        kinds: ``files`` (one row per live data file, with stats +
+        bloom flag), ``snapshots`` (one row per retained version),
+        ``fences`` (committed (epoch, bucket) units), ``tags``.
+        """
+        snap = snapshot or self.current()
+        if kind == "files":
+            rows = [
+                (
+                    f["path"], int(f["bucket"]),
+                    f.get("kind", "base"), int(f["rows"]),
+                    # stringified: key stats keep the key column's type
+                    # in the manifest (string or int keys)
+                    None if f.get("min_key") is None else str(f["min_key"]),
+                    None if f.get("max_key") is None else str(f["max_key"]),
+                    f.get("min_lsn"), f.get("max_lsn"),
+                    "bloom" in f,
+                )
+                for f in snap.files
+            ]
+            schema = (
+                "path string, bucket int, kind string, rows bigint, "
+                "min_key string, max_key string, min_lsn bigint, "
+                "max_lsn bigint, has_bloom boolean"
+            )
+            return spark.createDataFrame(rows, schema)
+        if kind == "snapshots":
+            rows = []
+            for v in self.history():
+                try:
+                    s = self.snapshot_at(v)
+                except FileNotFoundError:
+                    continue  # expired mid-walk
+                rows.append((
+                    s.version, s.parent, float(s.committed_at),
+                    s.schema.schema_version, s.num_buckets,
+                    len(s.files),
+                    sum(1 for f in s.files if f.get("kind") == "delta"),
+                    json.dumps(s.props, sort_keys=True),
+                ))
+            schema = (
+                "version int, parent int, committed_at double, "
+                "schema_version int, num_buckets int, live_files int, "
+                "pending_delta_files int, props string"
+            )
+            return spark.createDataFrame(rows, schema)
+        if kind == "fences":
+            rows = [
+                (int(k.split(":")[0]), int(k.split(":")[1]),
+                 int(v.get("max_lsn", -1)))
+                for k, v in snap.fences.items()
+            ]
+            return spark.createDataFrame(
+                rows, "epoch int, bucket int, max_lsn bigint"
+            )
+        if kind == "tags":
+            return spark.createDataFrame(
+                list(self.tags().items()), "name string, version int"
+            )
+        raise ValueError(
+            f"unknown metadata table {kind!r} "
+            "(files | snapshots | fences | tags)"
+        )
+
     # ---------- read path ----------
 
     def read(

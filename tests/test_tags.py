@@ -110,3 +110,61 @@ def test_cli_tag_subcommand(spark, tmpdir_clean, capsys):
                "--delete"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["tags"] == {}
+
+
+def test_metadata_tables(spark, tmpdir_clean):
+    """meta(): the Iceberg $files/$snapshots inspection surface — ops
+    queries over table metadata as plain DataFrames, no data read."""
+    from pyspark.sql import functions as F
+
+    table = _build(spark, tmpdir_clean, epochs=3)
+    table.tag("prod")
+    snap = table.current()
+
+    files = table.meta(spark, "files")
+    assert files.count() == len(snap.files)
+    per_bucket = {
+        r["bucket"]: r["n"]
+        for r in files.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    want = {}
+    for f in snap.files:
+        want[f["bucket"]] = want.get(f["bucket"], 0) + 1
+    assert per_bucket == want
+    assert files.filter("rows <= 0").count() == 0
+
+    snaps = table.meta(spark, "snapshots")
+    assert snaps.count() == len(table.history())
+    assert (
+        snaps.orderBy(F.desc("version")).first()["version"]
+        == snap.version
+    )
+
+    fences = table.meta(spark, "fences")
+    assert fences.count() == len(snap.fences)
+
+    tags = table.meta(spark, "tags")
+    assert [(r["name"], r["version"]) for r in tags.collect()] == [
+        ("prod", snap.version)
+    ]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        table.meta(spark, "nope")
+
+
+def test_cli_inspect_subcommand(spark, tmpdir_clean, capsys):
+    from e_commerce_batch_etl_pipeline_spark.cli import main
+
+    table = _build(spark, tmpdir_clean, epochs=2)
+    rc = main(["inspect", "--table", table.root, "--what", "files",
+               "--sql",
+               "SELECT count(*) AS n, sum(rows) AS r FROM meta"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert out["rows"][0]["n"] == len(table.current().files)
+    assert out["rows"][0]["r"] == sum(
+        f["rows"] for f in table.current().files
+    )
