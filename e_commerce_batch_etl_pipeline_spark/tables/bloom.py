@@ -234,22 +234,33 @@ def attach_blooms(
     remove_orphans collects, never a live entry pointing at a missing
     sidecar. Entries whose bucket has no filter pass through unchanged.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     bdir = os.path.join(root, BLOOM_DIR)
     os.makedirs(bdir, exist_ok=True)
-    rel_by_bucket: dict[int, dict] = {}
-    for b, bl in blooms.items():
+
+    def write_one(item):
+        b, bl = item
         name = f"bloom-{hashlib.sha1(bl['bits']).hexdigest()[:20]}.bin"
         path = os.path.join(bdir, name)
         if not os.path.exists(path):
-            tmp = path + ".tmp"
+            # unique tmp per writer: two buckets can share identical bits
+            # (content-addressed name) and must not race on one tmp file
+            tmp = f"{path}.{b}.tmp"
             with open(tmp, "wb") as f:
                 f.write(struct.pack("<II", bl["m"], bl["k"]))
                 f.write(bl["bits"])
             os.replace(tmp, path)
-        rel_by_bucket[b] = {
+        return b, {
             "path": os.path.join(BLOOM_DIR, name),
             "m": bl["m"], "k": bl["k"],
         }
+
+    # thread-pooled like _build_entries' footer reads: a 4096-bucket
+    # epoch writes 4096 sidecars — serial driver I/O would add seconds
+    items = list(blooms.items())
+    with ThreadPoolExecutor(max_workers=min(16, max(1, len(items)))) as ex:
+        rel_by_bucket = dict(ex.map(write_one, items))
     return [
         {**e, "bloom": rel_by_bucket[e["bucket"]]}
         if e["bucket"] in rel_by_bucket else e
