@@ -48,14 +48,27 @@ class WalSource:
 
     def complete_epochs_after(self, last_committed: int) -> list[int]:
         """Epochs safe for the tail loop: complete segments, stopping at
-        the FIRST incomplete one — later complete segments wait behind
-        it, because epochs must apply in order (watermarks and the fence
-        horizon assume lsn grows with epoch)."""
+        the FIRST incomplete segment AND at the first NUMBERING GAP —
+        later complete segments wait behind both, because epochs must
+        apply in order (watermarks and the fence horizon assume lsn
+        grows with epoch). The gap rule covers out-of-order landing
+        where epoch N+1's directory appears before epoch N's exists at
+        all: applying N+1 first would checkpoint past N, and N's rows
+        would later be dropped at the per-bucket watermark — silent
+        loss. A permanent gap therefore stalls the tail (ops-visible
+        via idle_timeout) rather than skipping data. The first batch
+        after a fresh checkpoint accepts whatever the lowest existing
+        epoch is (a WAL may legitimately start above 0 after segment
+        retention)."""
         out = []
+        expect = last_committed + 1 if last_committed >= 0 else None
         for e in self.epochs_after(last_committed):
+            if expect is not None and e != expect:
+                break  # gap: an earlier epoch may still be landing
             if not self.is_complete(e):
                 break
             out.append(e)
+            expect = e + 1
         return out
 
     def read_epoch(self, spark: SparkSession, epoch: int) -> DataFrame:

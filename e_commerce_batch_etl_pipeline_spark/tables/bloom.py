@@ -44,7 +44,6 @@ from __future__ import annotations
 import hashlib
 import os
 import struct
-from collections import OrderedDict
 
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
@@ -244,9 +243,13 @@ def attach_blooms(
         name = f"bloom-{hashlib.sha1(bl['bits']).hexdigest()[:20]}.bin"
         path = os.path.join(bdir, name)
         if not os.path.exists(path):
-            # unique tmp per writer: two buckets can share identical bits
-            # (content-addressed name) and must not race on one tmp file
-            tmp = f"{path}.{b}.tmp"
+            # tmp unique per bucket AND process: two buckets can share
+            # identical bits (content-addressed name), and two ENGINE
+            # PROCESSES racing the same epoch (the documented OCC
+            # scenario) can reach this write concurrently — a shared tmp
+            # would let one writer's truncate zero bytes the other
+            # already wrote, publishing a hole-filled sidecar
+            tmp = f"{path}.{b}.{os.getpid()}.tmp"
             with open(tmp, "wb") as f:
                 f.write(struct.pack("<II", bl["m"], bl["k"]))
                 f.write(bl["bits"])
@@ -271,8 +274,9 @@ def attach_blooms(
 # ---------------------------------------------------------------------------
 # probe side
 
-_BLOOM_CACHE: OrderedDict[str, bytes] = OrderedDict()
-_BLOOM_CACHE_MAX = int(os.environ.get("LAKE_BLOOM_CACHE_MAX", "4096"))
+from .lru import LruCache
+
+_BLOOM_CACHE = LruCache("LAKE_BLOOM_CACHE_MAX", 4096)
 
 
 def _load_bits(root: str, rel: str) -> bytes | None:
@@ -281,7 +285,6 @@ def _load_bits(root: str, rel: str) -> bytes | None:
     path = os.path.join(root, rel)
     got = _BLOOM_CACHE.get(path)
     if got is not None:
-        _BLOOM_CACHE.move_to_end(path)
         return got
     try:
         with open(path, "rb") as f:
@@ -289,10 +292,7 @@ def _load_bits(root: str, rel: str) -> bytes | None:
     except OSError:
         return None
     bits = raw[8:]  # 8-byte (m, k) header is advisory; entry carries both
-    _BLOOM_CACHE[path] = bits
-    _BLOOM_CACHE.move_to_end(path)
-    while len(_BLOOM_CACHE) > _BLOOM_CACHE_MAX:
-        _BLOOM_CACHE.popitem(last=False)
+    _BLOOM_CACHE.put(path, bits)
     return bits
 
 

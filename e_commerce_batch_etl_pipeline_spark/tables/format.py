@@ -158,6 +158,20 @@ class TableSchema:
                 )
             fields.append((name, typ, True))
         if widen:
+            if key_column is not None and key_column in widen:
+                # the bucket layout IS murmur3(key): Spark hashes int 5
+                # and long 5 differently, so widening the key column
+                # would route a key's new rows to a different bucket
+                # than its old rows — bucket-local LWW then resolves
+                # against half the history (silent wrong results), and
+                # persisted bloom sidecars hash-drift the same way.
+                # A key-type change requires a full rewrite (rebucket
+                # with an explicit cast), not metadata-only DDL.
+                raise ValueError(
+                    f"cannot widen key column {key_column}: the bucket "
+                    "route hashes by type (murmur3(int) != murmur3("
+                    "long)) — rebucket with an explicit cast instead"
+                )
             out = []
             for n, t, nl in fields:
                 if n in widen:
@@ -399,22 +413,12 @@ def _may_overlap_range(entry: dict, lo, hi) -> bool:
 
 
 # Manifest files are content-addressed (name = sha1 of canonical entry
-# JSON) and therefore IMMUTABLE — safe to cache indefinitely, but NOT
-# unboundedly: a long-lived driver (soak / streaming engine) with
-# per-epoch manifest churn at 1024+ buckets would otherwise accumulate
-# one entry list per manifest ever touched. LRU-capped; eviction only
-# costs a re-read. Entry dicts are shared and must not be mutated.
-from collections import OrderedDict as _OrderedDict
+# JSON) and therefore immutable; cache discipline (LRU cap, shared
+# values, why) lives in tables/lru.py — the same helper backs the bloom
+# sidecar cache.
+from .lru import LruCache
 
-_MANIFEST_CACHE: _OrderedDict[str, list] = _OrderedDict()
-_MANIFEST_CACHE_MAX = int(os.environ.get("LAKE_MANIFEST_CACHE_MAX", "4096"))
-
-
-def _cache_put(path: str, entries: list) -> None:
-    _MANIFEST_CACHE[path] = entries
-    _MANIFEST_CACHE.move_to_end(path)
-    while len(_MANIFEST_CACHE) > _MANIFEST_CACHE_MAX:
-        _MANIFEST_CACHE.popitem(last=False)
+_MANIFEST_CACHE = LruCache("LAKE_MANIFEST_CACHE_MAX", 4096)
 
 
 def _manifest_bytes(entries: list[dict]) -> bytes:
@@ -433,9 +437,7 @@ def _load_manifest(md_dir: str, name: str) -> list[dict]:
     if cached is None:
         with open(path) as f:
             cached = json.load(f)
-        _cache_put(path, cached)
-    else:
-        _MANIFEST_CACHE.move_to_end(path)
+        _MANIFEST_CACHE.put(path, cached)
     return list(cached)
 
 
@@ -455,7 +457,7 @@ def _write_manifest(md_dir: str, entries: list[dict]) -> str:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, path)
-        _cache_put(path, [dict(e) for e in entries])
+        _MANIFEST_CACHE.put(path, [dict(e) for e in entries])
     return name
 
 
@@ -715,8 +717,11 @@ class LakeTable:
         out = {}
         for fn in sorted(os.listdir(refs)):
             if fn.endswith(".json") and not fn.startswith("."):
-                with open(os.path.join(refs, fn)) as f:
-                    out[fn[:-5]] = int(json.load(f)["version"])
+                try:
+                    with open(os.path.join(refs, fn)) as f:
+                        out[fn[:-5]] = int(json.load(f)["version"])
+                except FileNotFoundError:
+                    continue  # dropped between listdir and open
         return out
 
     def drop_tag(self, name: str) -> None:

@@ -86,7 +86,10 @@ def main() -> None:
             )
             epoch_secs = [r.duration_sec for r in eng.run()
                           if r.status == "committed"]
-            return table, epoch_secs
+            # drop each run's first epoch (JVM/codegen warm-up — the
+            # blooms-off run goes first and would otherwise absorb the
+            # cold-start cost, understating the on/off overhead ratio)
+            return table, epoch_secs[1:] or epoch_secs
 
         table_off, secs_off = ingest("t_off", blooms=False)
         table, secs_on = ingest("t_on", blooms=True)

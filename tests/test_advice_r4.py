@@ -137,8 +137,7 @@ def test_lock_wait_bounded_when_stat_races(spark, tmpdir_clean, monkeypatch):
 def test_manifest_cache_bounded(tmpdir_clean, monkeypatch):
     """_MANIFEST_CACHE must not grow without limit in a long-lived
     driver; evicted manifests re-load correctly from disk."""
-    monkeypatch.setattr(fmt, "_MANIFEST_CACHE_MAX", 4)
-    saved = dict(fmt._MANIFEST_CACHE)
+    monkeypatch.setattr(fmt._MANIFEST_CACHE, "max", 4)
     fmt._MANIFEST_CACHE.clear()
     try:
         names = []
@@ -152,4 +151,3 @@ def test_manifest_cache_bounded(tmpdir_clean, monkeypatch):
             assert len(fmt._MANIFEST_CACHE) <= 4
     finally:
         fmt._MANIFEST_CACHE.clear()
-        fmt._MANIFEST_CACHE.update(saved)
