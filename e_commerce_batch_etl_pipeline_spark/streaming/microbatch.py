@@ -633,7 +633,7 @@ class CdcEngine:
                     valid_dir, touched, key_column=snap.key_column,
                     entries=staged_entries,
                 )
-                self.table.commit(
+                landed = self.table.commit(
                     epoch=epoch,
                     replaced_buckets=touched,
                     new_files=new_files,
@@ -642,6 +642,19 @@ class CdcEngine:
                     props={"epoch": epoch, "mode": "mor"},
                     delta=True,
                 )
+                if landed is None:
+                    # fence no-op: a concurrent engine committed this
+                    # epoch between our fence check and our commit. The
+                    # table is exactly-once either way (our adopted
+                    # files are unreferenced orphans for GC); report
+                    # "skipped" so run summaries and lineage don't
+                    # double-count the winner's rows.
+                    return EpochResult(
+                        epoch=epoch, status="skipped",
+                        conflicts=conflicts,
+                        buckets_touched=len(touched),
+                        duration_sec=time.time() - t0,
+                    )
                 if self.mor_compact_files is not None:
                     from ..tables.format import ConcurrentCommitError
                     from ..tables.maintenance import compact

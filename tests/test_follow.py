@@ -116,3 +116,59 @@ def test_follow_stop_file_exits_promptly(spark, tmpdir_clean):
     results = eng.follow(poll_sec=5.0, stop_file=stop)
     assert results == []
     assert time.monotonic() - t0 < 2.0  # no poll sleep, no epoch applied
+
+
+def test_two_followers_one_table_exactly_once(spark, tmpdir_clean):
+    """Two tail engines (separate checkpoints) race the same WAL into
+    ONE table: snapshot fences + the commit lock make every epoch land
+    exactly once regardless of which engine wins it, and both tails
+    drain to the same final state as a one-shot replay."""
+    stage, live = _staged_wal(spark, tmpdir_clean)
+    _move(stage, live, 0)
+    base = generate_base_docs(spark, 200, seed=21, max_len=8)
+    table = bootstrap_table(os.path.join(tmpdir_clean, "t"), base,
+                            num_buckets=4)
+
+    def follower(name):
+        eng = CdcEngine(
+            spark, table, WalSource(live),
+            os.path.join(tmpdir_clean, f"ckpt_{name}"),
+            merge_mode="mor", mor_compact_files=None,
+        )
+        return eng.follow(poll_sec=0.2, idle_timeout_sec=5.0)
+
+    import concurrent.futures as cf
+
+    def late_writer():
+        for e in (1, 2, 3):
+            time.sleep(1.0)
+            _move(stage, live, e)
+
+    w = threading.Thread(target=late_writer)
+    w.start()
+    with cf.ThreadPoolExecutor(2) as ex:
+        futs = [ex.submit(follower, n) for n in ("a", "b")]
+        results = [f.result() for f in futs]
+    w.join()
+
+    committed = [
+        r.epoch for rs in results for r in rs if r.status == "committed"
+    ]
+    skipped = [
+        r.epoch for rs in results for r in rs if r.status == "skipped"
+    ]
+    # every epoch committed EXACTLY once across both tails; the loser
+    # of each race resolves to "skipped" at the fence check
+    assert sorted(committed + skipped) and sorted(set(committed)) == \
+        sorted(committed)
+    assert set(committed) == {0, 1, 2, 3}
+
+    ref_root = os.path.join(tmpdir_clean, "ref")
+    os.makedirs(ref_root)
+    ref_table = bootstrap_table(
+        os.path.join(ref_root, "t"),
+        generate_base_docs(spark, 200, seed=21, max_len=8), num_buckets=4,
+    )
+    CdcEngine(spark, ref_table, WalSource(live),
+              os.path.join(ref_root, "ckpt")).run()
+    assert _rows(table.read(spark)) == _rows(ref_table.read(spark))
