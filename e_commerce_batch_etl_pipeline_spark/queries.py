@@ -3341,18 +3341,12 @@ _BLOOM_LOOKUP_KEYS = [f"u{i:09d}" for i in range(15)] + [
 ]
 
 
-def table_bloom_lookup(spark, sf_dir):
-    """Point lookup through per-file key Bloom filters (tables/bloom.py):
-    replay the fixture WAL into a merge-on-read table with DEFERRED
-    compaction and ``delta_blooms=True``, so every pending delta file
-    carries a content-addressed bloom sidecar, then look up a key set of
-    present + in-range-but-absent keys. The read path prunes delta files
-    whose filter proves the key absent BEFORE the LWW union is planned;
-    the probe hashes come from the pure-Python XXH64 that must equal
-    Spark's xxhash64 bit-for-bit. Oracle: plain WHERE doc_id IN (...)
-    over the layout-independent full-replay state — a false negative
-    anywhere in the hash/bit contract drops a live row and
-    hash-mismatches."""
+def _mor_fixture(spark, sf_dir):
+    """Replay the fixture WAL into a merge-on-read table ONCE per process
+    per sf_dir (deferred compaction, per-delta bloom sidecars) — shared
+    by the bloom-lookup and changelog-stream queries: its pending delta
+    files are both the bloom-pruning target and the lakefeed source's
+    changelog content."""
     import tempfile
 
     from .sources.wal import WalSource
@@ -3383,7 +3377,22 @@ def table_bloom_lookup(spark, sf_dir):
         )
         engine.run()
         _BLOOM_FIXTURE[key] = table
-    rows = _BLOOM_FIXTURE[key].lookup(spark, _BLOOM_LOOKUP_KEYS)
+    return _BLOOM_FIXTURE[key]
+
+
+def table_bloom_lookup(spark, sf_dir):
+    """Point lookup through per-file key Bloom filters (tables/bloom.py):
+    replay the fixture WAL into a merge-on-read table with DEFERRED
+    compaction and ``delta_blooms=True``, so every pending delta file
+    carries a content-addressed bloom sidecar, then look up a key set of
+    present + in-range-but-absent keys. The read path prunes delta files
+    whose filter proves the key absent BEFORE the LWW union is planned;
+    the probe hashes come from the pure-Python XXH64 that must equal
+    Spark's xxhash64 bit-for-bit. Oracle: plain WHERE doc_id IN (...)
+    over the layout-independent full-replay state — a false negative
+    anywhere in the hash/bit contract drops a live row and
+    hash-mismatches."""
+    rows = _mor_fixture(spark, sf_dir).lookup(spark, _BLOOM_LOOKUP_KEYS)
     return rows.select(
         "doc_id",
         "n_tok",
@@ -3532,11 +3541,86 @@ QUERIES["table_schema_evolution"] = table_schema_evolution
 ORACLES["table_schema_evolution"] = ORACLE_SCHEMA_EVOLUTION
 
 
+_FEED_STREAM_FIXTURE: dict = {}
+
+
+def streaming_table_feed(spark, sf_dir):
+    """The table's committed changelog as a Structured Streaming SOURCE
+    (sources/feed_datasource.py — the Delta ``readStream.format("delta")``
+    / CDF surface for this format): subscribe to the merge-on-read
+    fixture table via ``spark.readStream.format("lakefeed")`` with
+    version-number offsets, Trigger.AvailableNow, memory sink. Each MOR
+    commit's delta files ARE its changelog — the stream emits the
+    per-(epoch, key) LWW winner rows with their op, lsn, and publishing
+    snapshot version; fold/rebucket/metadata commits emit nothing. The
+    oracle re-derives exactly that in SQL: per-epoch row_number windows
+    over the envelope stream, plus the version mapping (bootstrap = v1,
+    the e-th non-empty epoch commits v = e + 2 via dense_rank). A
+    dropped file partition, a double-emitted microbatch, a fold
+    misclassified as data, or a wrong version stamp all hash-mismatch."""
+    from .sources.feed_datasource import LakeFeedDataSource
+
+    table = _mor_fixture(spark, sf_dir)
+    spark.dataSource.register(LakeFeedDataSource)
+    # session-qualified cache key — see streaming_stateful_compact
+    key = (id(spark), os.path.abspath(sf_dir))
+    cached = _FEED_STREAM_FIXTURE.get(key)
+    if cached is None or not spark.catalog.tableExists(cached):
+        sink = f"table_feed_{uuid.uuid4().hex[:12]}"
+        q = (
+            spark.readStream.format("lakefeed")
+            .option("root", table.root)
+            .option("startingVersion", 0).load()
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        _FEED_STREAM_FIXTURE[key] = sink
+    feed = spark.table(_FEED_STREAM_FIXTURE[key])
+    return (
+        feed.select(
+            "doc_id",
+            F.col("_change_op").alias("op"),
+            F.col("_lsn").alias("lsn"),
+            F.col("_commit_version").alias("commit_version"),
+            "n_tok",
+            F.element_at("tokens", 1).alias("tok0"),
+            "source",
+        )
+        .orderBy("doc_id", "lsn")
+    )
+
+
+ORACLE_TABLE_FEED = f"""
+WITH env AS ({_TF_ENV_SQL}),
+seg AS (SELECT (max(lsn) + 4) // 4 AS s FROM env),
+r AS (
+  SELECT *, lsn // (SELECT s FROM seg) AS ep,
+         row_number() OVER (
+           PARTITION BY lsn // (SELECT s FROM seg), doc_id
+           ORDER BY lsn DESC) AS rn
+  FROM env
+),
+w AS (
+  SELECT *, (1 + dense_rank() OVER (ORDER BY ep))::BIGINT AS commit_version
+  FROM r WHERE rn = 1
+)
+SELECT doc_id, op, lsn, commit_version,
+       CASE WHEN op = 'D' THEN NULL ELSE (1 + lsn % 3)::INT END AS n_tok,
+       CASE WHEN op = 'D' THEN NULL ELSE (lsn % 50257)::INT END AS tok0,
+       CASE WHEN op = 'D' THEN NULL ELSE source END AS source
+FROM w ORDER BY doc_id, lsn
+"""
+
+QUERIES["streaming_table_feed"] = streaming_table_feed
+ORACLES["streaming_table_feed"] = ORACLE_TABLE_FEED
+
+
 # =====================================================================
 # Driver-correctness-window ordering.
 #
 # The driver's correctness gate checks only the FIRST 50 entries of the
-# queries() dict (insertion order); the registry holds more (67 as of
+# queries() dict (insertion order); the registry holds more (70 as of
 # round 5, so exactly len(QUERIES)-50 must spill — asserted below so a
 # new registration that silently pushes an unlisted query past the cap
 # fails this module's import instead of going unnoticed). Rotation
@@ -3607,6 +3691,11 @@ _DRIVER_TAIL = [
     # in r02, r03 AND r04; the deliberate brute-force BASELINE — its ANN
     # siblings and both recall queries stay in-window. Due a row in r06.
     "embed_cosine_topk",
+    # 20th spill (round 5, makes room for streaming_table_feed): green in
+    # r02, r03 AND r04; its end-to-end scale sibling
+    # dedup_lsh_jaccard_verify (banding → candidate pairs → verify)
+    # stays in-window. Due a row in r06.
+    "dedup_minhash_lsh",
 ]
 
 QUERIES = {

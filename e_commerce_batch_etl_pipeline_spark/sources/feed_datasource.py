@@ -1,0 +1,306 @@
+"""LakeTable change-data-feed as a Spark DataSource (``lakefeed``).
+
+The Delta-Lake ``readStream.format("delta")`` / ``table_changes(...)``
+surface re-expressed for this table format: downstream consumers
+subscribe to a table's committed row-level changelog through plain
+Spark batch/stream reads instead of driving ``changes_between`` by hand.
+
+    spark.dataSource.register(LakeFeedDataSource)
+
+    # batch: every change committed in (startingVersion, endingVersion]
+    df = (spark.read.format("lakefeed")
+          .option("root", table_root)
+          .option("startingVersion", 0)          # default 0 = everything
+          .option("endingVersion", 7)            # default = current
+          .load())
+
+    # stream: exactly-once via version-number offsets in the checkpoint
+    feed = (spark.readStream.format("lakefeed")
+            .option("root", table_root)
+            .option("startingVersion", 0)        # or "latest"
+            .load())
+
+Output schema: the table's columns plus three CDC metadata columns —
+``_change_op`` (``I``/``U``/``D`` as committed), ``_lsn`` (the change's
+log sequence number; ``-1`` for snapshot/base rows), ``_commit_version``
+(the snapshot version that published the row). Emission is per COMMIT
+(Delta-CDF granularity), not net-across-range — ``changes_between``
+stays the NET-diff batch surface.
+
+Version-step classification (planned driver-side from the immutable
+snapshot chain, so offset replay is deterministic):
+- **MOR delta commit** (files appended, none removed, every added file
+  ``kind=delta``): the changelog IS the added files — one
+  ``InputPartition`` per file, read worker-side via pyarrow (Arrow
+  batches end-to-end). This is O(changes) with parallelism = files.
+- **Base-file append without removal** (bootstrap, CoW ingest into
+  previously-empty buckets): every row in the added files is a genuine
+  insert → emitted with ``_change_op='I'``, ``_lsn=-1`` (base files
+  carry no lsn; matches the read path, where base rows scan as lsn=-1).
+- **Logical no-ops** — compaction folds / rebuckets / metadata-only
+  commits (schema evolution, empty epochs) — are SKIPPED: they change
+  layout, never state.
+- **CoW replacement commits** (files removed AND new ingest fences):
+  the per-row changelog is not recoverable from a net state rewrite —
+  the plan FAILS CLOSED with a pointer to ``merge-mode mor``, never
+  guesses.
+
+Schema evolution inside the range is reconciled per file at read time:
+columns missing from an old delta read as typed NULLs, widened columns
+upcast — same rules as the table's own scan.
+
+Scale shape: planning cost is O(versions × changed-file entries) on the
+driver (manifests are content-addressed and LRU-cached); data movement
+is one pyarrow scan per changed file on the executors; nothing is
+collected. Reference analog: none (the reference is batch-only;
+SURVEY.md §2.10 new ground).
+
+Deployment note (Spark 4.1): the STREAMING source runner is a separate
+driver-side Python worker that — unlike the batch data-source workers —
+does not put ``--py-files`` archives on its ``sys.path``. Under
+``spark-submit``, streaming reads therefore need the package importable
+via the environment too: ``PYTHONPATH=/path/to/pkg.zip spark-submit
+--py-files pkg.zip ...`` (verified end-to-end; batch reads need only
+``--py-files``). In-process drivers that can already import this module
+are unaffected.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+META_COLS = (
+    ("_change_op", T.StringType()),
+    ("_lsn", T.LongType()),
+    ("_commit_version", T.LongType()),
+)
+_META_NAMES = tuple(n for n, _ in META_COLS)
+
+
+class FeedUnsupportedCommit(ValueError):
+    """A commit in the requested range rewrote state (CoW replacement):
+    its row-level changelog is not recoverable from the snapshot chain."""
+
+
+class _FeedPartition(InputPartition):
+    def __init__(self, path: str, kind: str, version: int):
+        self.path = path
+        self.kind = kind  # "delta" | "base"
+        self.version = version
+
+
+def _plan_versions(root: str, from_v: int, to_v: int) -> list[_FeedPartition]:
+    """Classify every version step in (from_v, to_v] and return one
+    partition per changelog-bearing file. Deterministic for a given
+    range (snapshots and manifests are immutable), which is what makes
+    streaming-offset replay exactly-once."""
+    from ..tables.format import LakeTable
+
+    t = LakeTable(root)
+    parts: list[_FeedPartition] = []
+    try:
+        prev = t.snapshot_at(from_v)
+    except FileNotFoundError:
+        raise FeedUnsupportedCommit(
+            f"snapshot v{from_v} is not retained (expired?); the feed "
+            "cannot start below the oldest retained version"
+        ) from None
+    for v in range(from_v + 1, to_v + 1):
+        try:
+            s2 = t.snapshot_at(v)
+        except FileNotFoundError:
+            raise FeedUnsupportedCommit(
+                f"snapshot v{v} missing from the chain (expired "
+                "mid-range?); cannot plan the feed"
+            ) from None
+        s1 = prev
+        prev = s2
+        p1 = {f["path"] for f in s1.files}
+        p2 = {f["path"] for f in s2.files}
+        added = [f for f in s2.files if f["path"] not in p1]
+        removed = p1 - p2
+        if s2.num_buckets != s1.num_buckets:
+            continue  # rebucket: layout rewrite, logical no-op
+        if not added and not removed:
+            continue  # metadata-only (evolution / empty epoch / tags)
+        if removed:
+            if set(s2.fences) - set(s1.fences):
+                raise FeedUnsupportedCommit(
+                    f"commit v{v} replaced files while ingesting (copy-on-"
+                    "write): its row changelog is not recoverable from "
+                    "the snapshot chain. Run the engine with merge-mode "
+                    "mor (delta commits) to make the table streamable."
+                )
+            continue  # compaction fold / rewrite: logical no-op
+        for f in added:
+            kind = "delta" if f.get("kind") == "delta" else "base"
+            parts.append(
+                _FeedPartition(os.path.join(root, f["path"]), kind, v)
+            )
+    return parts
+
+
+def _read_feed_partition(partition: _FeedPartition, target, payload: list[str]):
+    """Executor-side scan of one changelog file → Arrow RecordBatches
+    matching ``target`` (the declared stream schema). No row-level
+    Python objects; per-file schema drift (evolution) reconciled here."""
+    if not partition.path:
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(partition.path)
+    avail = set(pf.schema_arrow.names)
+    want = [c for c in payload if c in avail]
+    if partition.kind == "delta":
+        want += [c for c in ("op", "lsn") if c in avail]
+    for rb in pf.iter_batches(columns=want):
+        n = rb.num_rows
+        names = {rb.schema.field(i).name: i for i in range(rb.num_columns)}
+        cols = []
+        for name in payload:
+            ft = target.field(name).type
+            if name in names:
+                arr = rb.column(names[name])
+                if arr.type != ft:
+                    arr = arr.cast(ft)
+            else:
+                arr = pa.nulls(n, type=ft)
+            cols.append(arr)
+        if partition.kind == "delta":
+            op = rb.column(names["op"]).cast(pa.string())
+            lsn = rb.column(names["lsn"]).cast(pa.int64())
+        else:
+            op = pa.repeat(pa.scalar("I", type=pa.string()), n)
+            lsn = pa.repeat(pa.scalar(-1, type=pa.int64()), n)
+        ver = pa.repeat(pa.scalar(partition.version, type=pa.int64()), n)
+        yield pa.RecordBatch.from_arrays(cols + [op, lsn, ver], schema=target)
+
+
+def _arrow_target(full: T.StructType):
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(full)
+
+
+class LakeFeedBatchReader(DataSourceReader):
+    """Batch: every change committed in (startingVersion, endingVersion]."""
+
+    def __init__(self, options: dict, full: T.StructType):
+        from ..tables.format import LakeTable
+
+        self.root = options["root"]
+        cur = LakeTable(self.root).current().version
+        self.from_v = int(options.get("startingVersion", 0))
+        ev = options.get("endingVersion")
+        self.to_v = cur if ev is None else int(ev)
+        if self.to_v > cur:
+            raise ValueError(
+                f"endingVersion {self.to_v} beyond current v{cur}"
+            )
+        self._payload = [
+            f.name for f in full.fields if f.name not in _META_NAMES
+        ]
+        self._target = _arrow_target(full)
+
+    def partitions(self) -> Sequence[InputPartition]:
+        parts = _plan_versions(self.root, self.from_v, self.to_v)
+        return parts or [_FeedPartition("", "delta", -1)]
+
+    def read(self, partition: _FeedPartition) -> Iterator:
+        yield from _read_feed_partition(
+            partition, self._target, self._payload
+        )
+
+
+class LakeFeedStreamReader(DataSourceStreamReader):
+    """Streaming: offsets are snapshot VERSION numbers. Spark checkpoints
+    them; ``partitions(start, end)`` replans deterministically from the
+    immutable snapshot chain, so restart/replay is exactly-once without
+    any source-side state."""
+
+    def __init__(self, options: dict, full: T.StructType):
+        from ..tables.format import LakeTable
+
+        self.root = options["root"]
+        cur = LakeTable(self.root).current().version
+        sv = options.get("startingVersion")
+        if sv is None:
+            self.start = 0
+        elif str(sv).lower() == "latest":
+            self.start = cur
+        else:
+            self.start = int(sv)
+            if self.start > cur:
+                raise ValueError(
+                    f"startingVersion {self.start} beyond current v{cur}"
+                )
+        self._payload = [
+            f.name for f in full.fields if f.name not in _META_NAMES
+        ]
+        self._target = _arrow_target(full)
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start}
+
+    def latestOffset(self) -> dict:
+        # no per-batch version cap: a rate limit here silently starves
+        # Trigger.AvailableNow (it captures ONE latestOffset and stops
+        # there), and a microbatch is exactly-once regardless of size —
+        # every version committed since the last trigger rides together
+        from ..tables.format import LakeTable
+
+        return {"version": LakeTable(self.root).current().version}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        parts = _plan_versions(
+            self.root, int(start["version"]), int(end["version"])
+        )
+        return parts or [_FeedPartition("", "delta", -1)]
+
+    def read(self, partition: _FeedPartition) -> Iterator:
+        yield from _read_feed_partition(
+            partition, self._target, self._payload
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean: the chain is the log
+
+
+class LakeFeedDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "lakefeed"
+
+    def schema(self) -> str:
+        # planning runs in a context-free Python worker: build the DDL
+        # STRING from the snapshot's stored field DDLs (StructType.fromDDL
+        # would need an active SparkContext); Spark parses it JVM-side
+        # and hands the resolved StructType back to reader()/streamReader()
+        from ..tables.format import LakeTable
+
+        snap = LakeTable(self.options["root"]).current()
+        clash = {n for n, _, _ in snap.schema.fields} & set(_META_NAMES)
+        if clash:
+            raise ValueError(
+                f"table columns {sorted(clash)} collide with lakefeed "
+                "metadata columns"
+            )
+        payload = ", ".join(f"{n} {t}" for n, t, _ in snap.schema.fields)
+        meta = ", ".join(f"{n} {t.simpleString()}" for n, t in META_COLS)
+        return f"{payload}, {meta}"
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        return LakeFeedBatchReader(self.options, schema)
+
+    def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
+        return LakeFeedStreamReader(self.options, schema)
