@@ -17,6 +17,10 @@ Subcommands:
     status     — metadata-only table/ops probe (no Spark session)
     verify     — write-verify read-back (K4): manifest + invariants;
                  exit 3 on failure
+    publish    — write-audit-publish: audit a snapshot (file existence,
+                 DQ predicate over the changes, invariant verify) and
+                 fast-forward the serving ref to it; exit 3 on audit
+                 failure (ref untouched)
     maintain   — compaction / snapshot expiry / orphan GC / rebucket
 """
 
@@ -144,6 +148,23 @@ def main(argv: list[str] | None = None) -> int:
 
     vf = sub.add_parser("verify")
     vf.add_argument("--table", required=True)
+
+    pub = sub.add_parser("publish")
+    pub.add_argument("--table", required=True)
+    pub.add_argument("--ref", default="published",
+                     help="serving ref to fast-forward (default: "
+                          "published)")
+    pub.add_argument("--version", type=int, default=None,
+                     help="snapshot to publish (default: head)")
+    pub.add_argument("--audit-predicate", default=None,
+                     help="SQL boolean evaluated over the CHANGES being "
+                          "published (columns: _change_op, key, payload); "
+                          "any FALSE/NULL row fails the audit")
+    pub.add_argument("--allow-rollback", action="store_true",
+                     help="permit moving the ref backwards (explicit "
+                          "serving rollback)")
+    pub.add_argument("--skip-verify", action="store_true",
+                     help="skip the full invariant read-back tier")
 
     m = sub.add_parser("maintain")
     m.add_argument("--table", required=True)
@@ -422,6 +443,22 @@ def main(argv: list[str] | None = None) -> int:
         from .tables.maintenance import verify as _verify
 
         rep = _verify(LakeTable(args.table), spark)
+        print(json.dumps(rep))
+        return 0 if rep["ok"] else 3
+    elif args.cmd == "publish":
+        # write-audit-publish ceremony (tables/maintenance.py:publish):
+        # audit the target snapshot, fast-forward the serving ref only
+        # if every tier passes; exit 3 on audit failure (ref untouched)
+        from .tables.format import LakeTable
+        from .tables.maintenance import publish as _publish
+
+        rep = _publish(
+            LakeTable(args.table), spark,
+            ref=args.ref, version=args.version,
+            audit_predicate=args.audit_predicate,
+            allow_rollback=args.allow_rollback,
+            full_verify=not args.skip_verify,
+        )
         print(json.dumps(rep))
         return 0 if rep["ok"] else 3
     elif args.cmd == "maintain":

@@ -3616,11 +3616,70 @@ QUERIES["streaming_table_feed"] = streaming_table_feed
 ORACLES["streaming_table_feed"] = ORACLE_TABLE_FEED
 
 
+def table_wap_publish(spark, sf_dir):
+    """Write-audit-publish under the DuckDB gate
+    (tables/maintenance.py:publish): audit snapshot v1 of the fixture
+    table (file existence + a DQ predicate over everything being
+    published + the pinned invariant read-back) and fast-forward the
+    serving ref to it, read the SERVED state, then publish the head —
+    the second audit runs the predicate over changes_between(v1, head),
+    the O(changes) shape — and read again. Both reads go through the
+    ref (snapshot_at("wap_gate")), so the oracle checks the ceremony
+    end-to-end: a publish that moved the ref without passing audit, or
+    served anything but the exact audited snapshot, hash-mismatches
+    against the two replay states."""
+    from .tables.maintenance import publish
+
+    fx = _table_fixture(spark, sf_dir)
+    table = fx["table"]
+
+    def _served(phase):
+        snap = table.snapshot_at("wap_gate")
+        return table.read(spark, snapshot=snap).select(
+            F.lit(phase).alias("phase"),
+            "doc_id",
+            "n_tok",
+            F.element_at("tokens", 1).alias("tok0"),
+            "source",
+        )
+
+    # allow_rollback: the shared fixture's ref survives across parity
+    # runs in one process — re-publishing v1 after the head was
+    # published is exactly the explicit-rollback surface
+    r1 = publish(
+        table, spark, ref="wap_gate", version=fx["v1"],
+        audit_predicate="doc_id IS NOT NULL", allow_rollback=True,
+    )
+    served_v1 = _served("audited_v1")
+    r2 = publish(
+        table, spark, ref="wap_gate",
+        audit_predicate="doc_id IS NOT NULL",
+    )
+    if not (r1["ok"] and r1["published"] and r2["ok"] and r2["published"]):
+        raise RuntimeError(f"publish audit failed: {r1} / {r2}")
+    served_head = _served("audited_head")
+    return served_v1.unionAll(served_head).orderBy("phase", "doc_id")
+
+
+ORACLE_WAP_PUBLISH = f"""
+WITH {_TF_STATES_SQL}
+SELECT * FROM (
+  SELECT 'audited_v1' AS phase, doc_id, n_tok, tok0, source FROM s1
+  UNION ALL
+  SELECT 'audited_head' AS phase, doc_id, n_tok, tok0, source FROM s2
+)
+ORDER BY phase, doc_id
+"""
+
+QUERIES["table_wap_publish"] = table_wap_publish
+ORACLES["table_wap_publish"] = ORACLE_WAP_PUBLISH
+
+
 # =====================================================================
 # Driver-correctness-window ordering.
 #
 # The driver's correctness gate checks only the FIRST 50 entries of the
-# queries() dict (insertion order); the registry holds more (70 as of
+# queries() dict (insertion order); the registry holds more (71 as of
 # round 5, so exactly len(QUERIES)-50 must spill — asserted below so a
 # new registration that silently pushes an unlisted query past the cap
 # fails this module's import instead of going unnoticed). Rotation
@@ -3696,6 +3755,10 @@ _DRIVER_TAIL = [
     # dedup_lsh_jaccard_verify (banding → candidate pairs → verify)
     # stays in-window. Due a row in r06.
     "dedup_minhash_lsh",
+    # 21st spill (round 5, makes room for table_wap_publish): green in
+    # r02, r03 AND r04; LWW stays in-window via the flagship
+    # cdc_replay_engine and cdc_merge_upsert. Due a row in r06.
+    "cdc_lww_latest",
 ]
 
 QUERIES = {

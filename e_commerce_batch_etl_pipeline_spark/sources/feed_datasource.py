@@ -18,7 +18,15 @@ Spark batch/stream reads instead of driving ``changes_between`` by hand.
     feed = (spark.readStream.format("lakefeed")
             .option("root", table_root)
             .option("startingVersion", 0)        # or "latest"
-            .load())
+            .option("ref", "published")          # optional: only follow
+            .load())                             #   the audited ref
+
+Version options also accept REF NAMES (tags / the ``published`` branch):
+``startingVersion``/``endingVersion`` resolve through the table's refs,
+and the stream's ``ref`` option caps ``latestOffset`` at the named ref's
+current position — a subscriber that only ever sees what the
+write-audit-publish ceremony (``tables/maintenance.py::publish``) has
+fast-forwarded, while unaudited commits keep landing on the head.
 
 Output schema: the table's columns plus three CDC metadata columns —
 ``_change_op`` (``I``/``U``/``D`` as committed), ``_lsn`` (the change's
@@ -192,17 +200,26 @@ def _arrow_target(full: T.StructType):
     return to_arrow_schema(full)
 
 
+def _resolve_version(table, v) -> int:
+    """A version option is an int or a ref name (tag / branch)."""
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        return table.ref(str(v))
+
+
 class LakeFeedBatchReader(DataSourceReader):
     """Batch: every change committed in (startingVersion, endingVersion]."""
 
     def __init__(self, options: dict, full: T.StructType):
         from ..tables.format import LakeTable
 
+        t = LakeTable(options["root"])
         self.root = options["root"]
-        cur = LakeTable(self.root).current().version
-        self.from_v = int(options.get("startingVersion", 0))
+        cur = t.current().version
+        self.from_v = _resolve_version(t, options.get("startingVersion", 0))
         ev = options.get("endingVersion")
-        self.to_v = cur if ev is None else int(ev)
+        self.to_v = cur if ev is None else _resolve_version(t, ev)
         if self.to_v > cur:
             raise ValueError(
                 f"endingVersion {self.to_v} beyond current v{cur}"
@@ -231,15 +248,20 @@ class LakeFeedStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict, full: T.StructType):
         from ..tables.format import LakeTable
 
+        t = LakeTable(options["root"])
         self.root = options["root"]
-        cur = LakeTable(self.root).current().version
+        # ref-pinned subscription: latestOffset follows the named ref
+        # (e.g. the WAP "published" branch) instead of the table head,
+        # so unaudited commits never reach this consumer
+        self.ref = options.get("ref")
+        cur = t.current().version
         sv = options.get("startingVersion")
         if sv is None:
             self.start = 0
         elif str(sv).lower() == "latest":
-            self.start = cur
+            self.start = t.ref(self.ref) if self.ref else cur
         else:
-            self.start = int(sv)
+            self.start = _resolve_version(t, sv)
             if self.start > cur:
                 raise ValueError(
                     f"startingVersion {self.start} beyond current v{cur}"
@@ -259,7 +281,13 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         # every version committed since the last trigger rides together
         from ..tables.format import LakeTable
 
-        return {"version": LakeTable(self.root).current().version}
+        t = LakeTable(self.root)
+        if self.ref:
+            # a rolled-back ref must not move offsets backwards: offsets
+            # are monotone in Structured Streaming, so serve max(ref,
+            # start) and let the rollback simply stop producing batches
+            return {"version": max(t.ref(self.ref), self.start)}
+        return {"version": t.current().version}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         parts = _plan_versions(

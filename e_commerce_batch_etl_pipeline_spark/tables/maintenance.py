@@ -307,18 +307,22 @@ def rebucket(
     return new_snap
 
 
-def verify(table: LakeTable, spark: SparkSession) -> dict:
+def verify(table: LakeTable, spark: SparkSession,
+           snapshot=None) -> dict:
     """Post-commit write-verify (reference K4: read-back counts +
     partition histogram, ``notebooks/04_write_parquet.py:119-139``).
 
     Two tiers: (a) metadata — every manifest file exists on disk and is
     bucket-consistent by footer; (b) data — one read-back pass asserting
     the table invariants (key uniqueness, n_tok == size(tokens)).
+
+    ``snapshot``: verify a PINNED snapshot instead of the head — what
+    ``publish`` audits before moving a serving ref to it.
     """
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
-    snap = table.current()
+    snap = snapshot if snapshot is not None else table.current()
     missing = []
     has_delta = any(f.get("kind", "base") == "delta" for f in snap.files)
     rows_by_bucket: dict[int, int] = {}
@@ -337,7 +341,7 @@ def verify(table: LakeTable, spark: SparkSession) -> dict:
             "distinct_keys": None, "bad_ntok": None,
             "missing_files": missing, "buckets": len(rows_by_bucket),
         }
-    df = table.read(spark)
+    df = table.read(spark, snapshot=snap)
     agg = df.agg(
         F.count(F.lit(1)).alias("rows"),
         F.count_distinct(F.col(snap.key_column)).alias("keys"),
@@ -362,3 +366,83 @@ def verify(table: LakeTable, spark: SparkSession) -> dict:
         "missing_files": missing,
         "buckets": len(rows_by_bucket),
     }
+
+
+def publish(
+    table: LakeTable,
+    spark: SparkSession,
+    ref: str = "published",
+    version: int | None = None,
+    audit_predicate: str | None = None,
+    allow_rollback: bool = False,
+    full_verify: bool = True,
+) -> dict:
+    """Write-audit-publish: audit a committed snapshot, then atomically
+    fast-forward a named serving ref to it (the Iceberg branch
+    fast-forward / WAP ceremony, over this format's linear chain).
+
+    Ingest keeps advancing the table head; downstream consumers pin to
+    ``ref`` (``snapshot_at("published")`` for batch reads/lookups, the
+    ``lakefeed`` stream's ``ref`` option for subscriptions) — so a bad
+    epoch can land in the chain without ever becoming VISIBLE to
+    serving until it passes the audit. The ref is a tag, so the
+    published version is also retention-pinned: ``expire_snapshots``
+    and orphan GC can never collect what serving points at.
+
+    Audit tiers (any failure leaves the ref untouched and returns
+    ``ok=False`` — the CLI maps that to exit 3):
+    1. every file of the target snapshot exists on disk;
+    2. ``audit_predicate`` (SQL boolean) evaluated over the CHANGES
+       being published — ``changes_between(current_ref, target)`` — so
+       the audit is O(changes), not O(table); the first publish audits
+       the full state (everything is being published);
+    3. ``full_verify``: the invariant read-back of ``verify`` pinned to
+       the target snapshot.
+
+    ``version=None`` publishes the head. Moving the ref BACKWARDS is
+    refused unless ``allow_rollback=True`` (the explicit
+    rollback-serving-to-a-known-good-cut surface).
+    """
+    from pyspark.sql import functions as F
+
+    head = table.current().version
+    target = head if version is None else int(version)
+    snap_t = table.snapshot_at(target)  # raises if not retained
+    try:
+        cur_ref = table.ref(ref)
+    except FileNotFoundError:
+        cur_ref = None
+    if cur_ref is not None and target < cur_ref and not allow_rollback:
+        raise ValueError(
+            f"publish would move {ref!r} backwards v{cur_ref}→v{target}; "
+            "pass allow_rollback=True to roll serving back explicitly"
+        )
+    out = {
+        "ref": ref, "from_version": cur_ref, "to_version": target,
+        "ok": True, "violations": 0, "published": False,
+    }
+    missing = [
+        f["path"] for f in snap_t.files
+        if not os.path.exists(os.path.join(table.root, f["path"]))
+    ]
+    if missing:
+        out.update(ok=False, missing_files=missing[:10])
+        return out
+    from_v = cur_ref if cur_ref is not None else 0
+    if audit_predicate and from_v < target:
+        feed = table.changes_between(spark, from_v, target)
+        bad = feed.filter(
+            ~F.coalesce(F.expr(audit_predicate), F.lit(False))
+        ).count()
+        out["violations"] = int(bad)
+        if bad:
+            out["ok"] = False
+            return out
+    if full_verify:
+        rep = verify(table, spark, snapshot=snap_t)
+        if not rep["ok"]:
+            out.update(ok=False, verify=rep)
+            return out
+    table.tag(ref, target)
+    out["published"] = True
+    return out
