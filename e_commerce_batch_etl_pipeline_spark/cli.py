@@ -227,6 +227,20 @@ def main(argv: list[str] | None = None) -> int:
             "tags": table.tags(),
             "committed_at": snap.committed_at,
         }
+        refs = table.tags()
+        if "published" in refs:
+            # WAP serving lag: how far the audited ref trails the head
+            # (versions + wall seconds) — the number an operator pages on
+            pv = refs["published"]
+            out["published_version"] = pv
+            out["publish_lag_versions"] = snap.version - pv
+            try:
+                out["publish_lag_sec"] = round(
+                    snap.committed_at
+                    - table.snapshot_at(pv).committed_at, 1,
+                )
+            except FileNotFoundError:
+                out["publish_lag_sec"] = None
         if args.checkpoint:
             hist_path = _os.path.join(args.checkpoint, "run_history.jsonl")
             if _os.path.exists(hist_path):
