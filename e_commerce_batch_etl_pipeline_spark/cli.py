@@ -11,6 +11,10 @@ Subcommands:
     bootstrap  — initial snapshot commit of the base table
     replay     — checkpointed epoch loop (resumes automatically)
     changes    — incremental change feed between two snapshot versions
+    feed       — incremental changelog EXPORT (lakefeed stream,
+                 Trigger.AvailableNow + checkpoint): each invocation
+                 appends exactly the commits since the last run to a
+                 parquet directory — cron-able exactly-once CDC export
     rollup     — maintain a (group, count, sum) rollup incrementally
                  from the change feed (O(changes) per refresh)
     lookup     — bucket-routed point read (serving path, time-travelable)
@@ -98,6 +102,21 @@ def main(argv: list[str] | None = None) -> int:
                     help="append _old_<col> pre-image columns to U/D "
                          "rows (what an incremental aggregate maintainer "
                          "needs to retract old contributions)")
+
+    fd = sub.add_parser("feed")
+    fd.add_argument("--table", required=True)
+    fd.add_argument("--out", required=True,
+                    help="parquet dir the changelog is appended to")
+    fd.add_argument("--checkpoint", required=True,
+                    help="stream checkpoint: the cursor that makes "
+                         "re-invocations incremental and exactly-once")
+    fd.add_argument("--starting-version", default=None,
+                    help="first run only: version number or ref name to "
+                         "start after (default 0 = everything)")
+    fd.add_argument("--ref", default=None,
+                    help="follow a serving ref (e.g. published) instead "
+                         "of the head — unaudited commits are never "
+                         "exported")
 
     ru = sub.add_parser("rollup")
     ru.add_argument("--table", required=True)
@@ -342,6 +361,34 @@ def main(argv: list[str] | None = None) -> int:
             "from": args.from_version, "to": args.to_version,
             "inserts": counts.get("I", 0), "updates": counts.get("U", 0),
             "deletes": counts.get("D", 0), "out": args.out,
+        }))
+    elif args.cmd == "feed":
+        # incremental changelog export: the lakefeed stream under
+        # Trigger.AvailableNow drains exactly the commits the checkpoint
+        # hasn't seen, appends them to the parquet dir, and stops — so a
+        # cron re-invocation is an exactly-once "give me what's new"
+        # (sources/feed_datasource.py; version offsets in the checkpoint)
+        from .sources.feed_datasource import LakeFeedDataSource
+
+        spark.dataSource.register(LakeFeedDataSource)
+        r = spark.readStream.format("lakefeed").option("root", args.table)
+        if args.starting_version is not None:
+            r = r.option("startingVersion", args.starting_version)
+        if args.ref:
+            r = r.option("ref", args.ref)
+        q = (
+            r.load().writeStream.format("parquet")
+            .option("path", args.out)
+            .option("checkpointLocation", args.checkpoint)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        exported = sum(
+            int(p["numInputRows"]) for p in (q.recentProgress or [])
+        )
+        print(json.dumps({
+            "out": args.out, "rows_exported": exported,
+            "ref": args.ref,
         }))
     elif args.cmd == "rollup":
         import os as _os

@@ -287,3 +287,41 @@ def test_metadata_column_collision_rejected(spark, tmpdir_clean):
     with pytest.raises(Exception, match="collide"):
         (spark.read.format("lakefeed")
          .option("root", os.path.join(tmpdir_clean, "t")).load())
+
+
+def test_cli_feed_incremental_export(spark, tmpdir_clean, capsys):
+    """`feed` CLI: each invocation appends exactly the commits the
+    checkpoint hasn't seen — a cron-able exactly-once CDC export."""
+    import json as _json
+
+    from e_commerce_batch_etl_pipeline_spark.cli import main
+
+    wal_root = os.path.join(tmpdir_clean, "wal")
+    _write_wal(spark, wal_root, epochs=2)
+    table = _mor_table(spark, tmpdir_clean, wal_root)
+    out = os.path.join(tmpdir_clean, "export")
+    ckpt = os.path.join(tmpdir_clean, "feed_ckpt")
+
+    rc = main(["feed", "--table", table.root, "--out", out,
+               "--checkpoint", ckpt])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and rep["rows_exported"] == 16
+
+    extra = [(300 + k, 7, "U", f"k{k:03d}", [300 + k], None, "s7")
+             for k in range(5)]
+    df = spark.createDataFrame(extra, ENV_SCHEMA).withColumn(
+        "ts", F.timestamp_seconds("lsn")
+    )
+    df.write.mode("overwrite").parquet(os.path.join(wal_root, "epoch-00007"))
+    CdcEngine(
+        spark, table, WalSource(wal_root), os.path.join(tmpdir_clean, "ckpt"),
+        merge_mode="mor", mor_compact_files=None,
+    ).run()
+
+    rc = main(["feed", "--table", table.root, "--out", out,
+               "--checkpoint", ckpt])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and rep["rows_exported"] == 5
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 21
+    assert len({(r["doc_id"], r["_lsn"]) for r in rows}) == 21
