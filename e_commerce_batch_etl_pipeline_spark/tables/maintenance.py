@@ -428,9 +428,16 @@ def publish(
     if missing:
         out.update(ok=False, missing_files=missing[:10])
         return out
-    from_v = cur_ref if cur_ref is not None else 0
-    if audit_predicate and from_v < target:
-        feed = table.changes_between(spark, from_v, target)
+    if audit_predicate and (cur_ref is None or cur_ref < target):
+        if cur_ref is None:
+            # first publish: everything is being published — audit the
+            # full target state directly (changes_between(0, target)
+            # would need snapshot v0, which retention may have expired)
+            feed = table.read(spark, snapshot=snap_t).withColumn(
+                "_change_op", F.lit("I")
+            )
+        else:
+            feed = table.changes_between(spark, cur_ref, target)
         bad = feed.filter(
             ~F.coalesce(F.expr(audit_predicate), F.lit(False))
         ).count()

@@ -168,3 +168,18 @@ def test_cli_publish_subcommand(spark, wap, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 3 and not out["ok"] and out["violations"] == 3
     assert table.ref("published") == 3
+
+
+def test_first_publish_survives_expired_history(spark, wap):
+    """First publish audits the full target state directly — it must
+    not need snapshot v0, which retention may have expired."""
+    from e_commerce_batch_etl_pipeline_spark.tables.maintenance import (
+        expire_snapshots,
+    )
+
+    table, eng = wap["table"], wap["engine"]
+    eng.run()
+    expire_snapshots(table, keep_last=1)  # v0..v3 gone, head v4 retained
+    rep = publish(table, spark, audit_predicate="doc_id IS NOT NULL")
+    assert rep["ok"] and rep["published"] and rep["violations"] == 0
+    assert table.ref("published") == 4
