@@ -246,7 +246,7 @@ def main(argv: list[str] | None = None) -> int:
             "tags": table.tags(),
             "committed_at": snap.committed_at,
         }
-        refs = table.tags()
+        refs = out["tags"]
         if "published" in refs:
             # WAP serving lag: how far the audited ref trails the head
             # (versions + wall seconds) — the number an operator pages on

@@ -224,6 +224,12 @@ class LakeFeedBatchReader(DataSourceReader):
             raise ValueError(
                 f"endingVersion {self.to_v} beyond current v{cur}"
             )
+        if self.from_v > self.to_v:
+            raise ValueError(
+                f"inverted version range: startingVersion {self.from_v} > "
+                f"endingVersion {self.to_v} — an empty answer here would "
+                "silently read as 'no changes'"
+            )
         self._payload = [
             f.name for f in full.fields if f.name not in _META_NAMES
         ]
@@ -259,17 +265,35 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         if sv is None:
             self.start = 0
         elif str(sv).lower() == "latest":
-            self.start = t.ref(self.ref) if self.ref else cur
+            # with a ref: "latest" = the ref's current position; a ref
+            # that doesn't exist yet means nothing is published — start
+            # at 0 so the whole audited prefix arrives once it is
+            self.start = (self._ref_version(t) or 0) if self.ref else cur
         else:
             self.start = _resolve_version(t, sv)
             if self.start > cur:
                 raise ValueError(
                     f"startingVersion {self.start} beyond current v{cur}"
                 )
+        # offsets must be MONOTONE even if the ref is rolled back
+        # (allow_rollback is a supported publish surface): regressing
+        # latestOffset below an offset Spark has committed makes a later
+        # re-advance re-plan already-delivered versions — duplicates in
+        # an exactly-once export. Floor at everything this runner has
+        # returned or been handed (partitions() raises it to the
+        # checkpointed start after a restart); a rolled-back ref simply
+        # stops producing batches until it passes the floor again.
+        self._floor = self.start
         self._payload = [
             f.name for f in full.fields if f.name not in _META_NAMES
         ]
         self._target = _arrow_target(full)
+
+    def _ref_version(self, t) -> int | None:
+        try:
+            return t.ref(self.ref)
+        except FileNotFoundError:
+            return None  # nothing published yet — not an error
 
     def initialOffset(self) -> dict:
         return {"version": self.start}
@@ -283,13 +307,21 @@ class LakeFeedStreamReader(DataSourceStreamReader):
 
         t = LakeTable(self.root)
         if self.ref:
-            # a rolled-back ref must not move offsets backwards: offsets
-            # are monotone in Structured Streaming, so serve max(ref,
-            # start) and let the rollback simply stop producing batches
-            return {"version": max(t.ref(self.ref), self.start)}
-        return {"version": t.current().version}
+            rv = self._ref_version(t)
+            tip = self._floor if rv is None else max(rv, self._floor)
+        else:
+            tip = max(t.current().version, self._floor)
+        self._floor = tip
+        return {"version": tip}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # the checkpointed start is the one offset Spark is KNOWN to
+        # have committed — raise the monotonicity floor to it so a
+        # restart can never re-serve below it either
+        self._floor = max(self._floor, int(start["version"]),
+                          int(end["version"]))
+        if int(end["version"]) <= int(start["version"]):
+            return [_FeedPartition("", "delta", -1)]
         parts = _plan_versions(
             self.root, int(start["version"]), int(end["version"])
         )

@@ -428,11 +428,14 @@ def publish(
     if missing:
         out.update(ok=False, missing_files=missing[:10])
         return out
-    if audit_predicate and (cur_ref is None or cur_ref < target):
-        if cur_ref is None:
-            # first publish: everything is being published — audit the
-            # full target state directly (changes_between(0, target)
-            # would need snapshot v0, which retention may have expired)
+    if audit_predicate:
+        if cur_ref is None or target <= cur_ref:
+            # first publish OR a rollback/re-publish: the whole target
+            # state is what serving will see — audit it directly (a
+            # first publish can't use changes_between(0, target):
+            # retention may have expired v0; a rollback has no forward
+            # change-set, and silently skipping a requested audit would
+            # let an unaudited snapshot serve)
             feed = table.read(spark, snapshot=snap_t).withColumn(
                 "_change_op", F.lit("I")
             )
@@ -450,6 +453,28 @@ def publish(
         if not rep["ok"]:
             out.update(ok=False, verify=rep)
             return out
-    table.tag(ref, target)
+    # audits ran OUTSIDE the lock (they are Spark jobs — holding the
+    # commit lock through them would stall ingest); re-check the ref
+    # under the lock before moving it, so two concurrent publishers
+    # can't interleave read-guard→tag and silently move serving
+    # backwards (publisher A tags v5, B — who read the ref before A —
+    # tags v4 over it)
+    from .format import ConcurrentCommitError, commit_lock
+
+    with commit_lock(table.root):
+        now_ref = None
+        try:
+            now_ref = table.ref(ref)
+        except FileNotFoundError:
+            pass
+        if (not allow_rollback and now_ref is not None
+                and target < now_ref):
+            raise ConcurrentCommitError(
+                f"{ref!r} advanced to v{now_ref} while this publish "
+                f"audited v{target}; refusing the implicit rollback — "
+                "retry against the new state"
+            )
+        table.tag(ref, target)
+    out["from_version"] = cur_ref if now_ref is None else now_ref
     out["published"] = True
     return out

@@ -114,14 +114,11 @@ def main() -> None:
         )
 
         # ---- producer + ingest, concurrent with the subscriber
-        land_time: dict[int, float] = {}
-
         def writer():
             for e in range(args.epochs):
                 name = f"epoch-{e:05d}"
                 shutil.move(os.path.join(stage, name),
                             os.path.join(live, name))
-                land_time[e] = time.monotonic()
                 time.sleep(args.interval_sec)
 
         w = threading.Thread(target=writer)
@@ -168,7 +165,10 @@ def main() -> None:
         steady = [lag_by_v[v] for v in sorted(lag_by_v) if v > 1]
 
         epoch_secs = [r.duration_sec for r in results
-                      if r.status == "committed"]
+                      if r.status == "committed"] or [-1.0]
+        if not steady:
+            steady = [-1.0]  # subscriber stalled: report, don't crash —
+            # the exactly-once assertion below is the actual verdict
         v = verify(table, spark)
         print(json.dumps({
             "metric": "soak_feed_subscriber",

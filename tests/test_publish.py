@@ -183,3 +183,111 @@ def test_first_publish_survives_expired_history(spark, wap):
     rep = publish(table, spark, audit_predicate="doc_id IS NOT NULL")
     assert rep["ok"] and rep["published"] and rep["violations"] == 0
     assert table.ref("published") == 4
+
+
+def test_rollback_publish_still_runs_audit(spark, wap):
+    """A rollback is a publish too: an explicit audit_predicate must be
+    evaluated (over the full target state), never silently skipped."""
+    table, eng = wap["table"], wap["engine"]
+    eng.run(max_epochs=2)
+    publish(table, spark)  # ref = v3
+    rep = publish(table, spark, version=2, allow_rollback=True,
+                  audit_predicate="n_tok = 999")
+    assert not rep["ok"] and rep["violations"] == 8
+    assert table.ref("published") == 3  # rollback blocked by its audit
+
+
+def test_concurrent_publish_cannot_move_ref_backwards(spark, wap,
+                                                      monkeypatch):
+    """The ref is re-checked under the commit lock at tag time: a
+    publisher whose audit raced a newer publish must not tag an older
+    version over it."""
+    import e_commerce_batch_etl_pipeline_spark.tables.maintenance as mt
+    from e_commerce_batch_etl_pipeline_spark.tables.format import (
+        ConcurrentCommitError,
+    )
+
+    table, eng = wap["table"], wap["engine"]
+    eng.run()
+    publish(table, spark, version=2)  # ref = v2
+
+    real_verify = mt.verify
+
+    def race_verify(t, s, snapshot=None):
+        rep = real_verify(t, s, snapshot=snapshot)
+        t.tag("published", 4)  # a concurrent publisher lands v4 mid-audit
+        return rep
+
+    monkeypatch.setattr(mt, "verify", race_verify)
+    with pytest.raises(ConcurrentCommitError, match="advanced"):
+        publish(table, spark, version=3)
+    assert table.ref("published") == 4  # the newer publish stands
+
+
+def test_stream_missing_ref_exports_nothing(spark, wap, tmp_path):
+    """Following a ref that doesn't exist yet means 'nothing published':
+    the stream runs and emits zero rows instead of crashing."""
+    table, eng = wap["table"], wap["engine"]
+    eng.run(max_epochs=2)
+    spark.dataSource.register(LakeFeedDataSource)
+    out = str(tmp_path / "o")
+    q = (
+        spark.readStream.format("lakefeed")
+        .option("root", table.root)
+        .option("startingVersion", 0)
+        .option("ref", "published").load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 0
+
+
+def test_stream_survives_ref_rollback_without_duplicates(
+    spark, wap, tmp_path
+):
+    """Offsets stay monotone through a serving rollback: the subscriber
+    pauses while the ref is behind its floor and never re-delivers
+    already-exported versions when the ref re-advances."""
+    table, eng = wap["table"], wap["engine"]
+    eng.run()                       # head v4
+    publish(table, spark)           # ref = 4
+    spark.dataSource.register(LakeFeedDataSource)
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("lakefeed")
+            .option("root", table.root)
+            .option("startingVersion", 0)
+            .option("ref", "published").load()
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(out).count() == 24
+    publish(table, spark, version=2, allow_rollback=True,
+            full_verify=False)
+    run_once()                      # ref behind the checkpoint: no-op
+    assert spark.read.parquet(out).count() == 24
+    publish(table, spark, full_verify=False)  # back to v4
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 24
+    assert len({(r["doc_id"], r["_lsn"], r["_commit_version"])
+                for r in rows}) == 24
+
+
+def test_batch_inverted_range_rejected(spark, wap):
+    table, eng = wap["table"], wap["engine"]
+    eng.run(max_epochs=2)
+    spark.dataSource.register(LakeFeedDataSource)
+    with pytest.raises(Exception, match="inverted"):
+        (spark.read.format("lakefeed").option("root", table.root)
+         .option("startingVersion", 3).option("endingVersion", 2)
+         .load().collect())
