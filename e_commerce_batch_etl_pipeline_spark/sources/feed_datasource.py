@@ -208,6 +208,38 @@ def _resolve_version(table, v) -> int:
         return table.ref(str(v))
 
 
+def _start_before_timestamp(table, ts_opt: str) -> int:
+    """Delta's ``startingTimestamp`` semantics: include every commit at
+    or after the timestamp — i.e. start AFTER the last version committed
+    strictly before it. Accepts epoch seconds or an ISO-8601 string
+    (naive = UTC). Metadata-only: one pass over retained snapshot
+    headers, no data read."""
+    try:
+        ts = float(ts_opt)
+    except ValueError:
+        from datetime import datetime, timezone
+
+        dt = datetime.fromisoformat(ts_opt)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        ts = dt.timestamp()
+    hist = table.history()
+    start = None
+    for v in hist:
+        if table.snapshot_at(v).committed_at < ts:
+            start = v
+        else:
+            break  # committed_at is monotone along the chain
+    if start is None:
+        if hist and hist[0] == 0:
+            return 0  # table created after ts: everything is included
+        raise FeedUnsupportedCommit(
+            f"startingTimestamp {ts_opt} predates the oldest retained "
+            "snapshot; the feed cannot prove completeness below it"
+        )
+    return start
+
+
 class LakeFeedBatchReader(DataSourceReader):
     """Batch: every change committed in (startingVersion, endingVersion]."""
 
@@ -217,7 +249,15 @@ class LakeFeedBatchReader(DataSourceReader):
         t = LakeTable(options["root"])
         self.root = options["root"]
         cur = t.current().version
-        self.from_v = _resolve_version(t, options.get("startingVersion", 0))
+        st = options.get("startingTimestamp")
+        if st is not None and "startingVersion" in options:
+            raise ValueError(
+                "startingVersion and startingTimestamp are exclusive"
+            )
+        self.from_v = (
+            _start_before_timestamp(t, st) if st is not None
+            else _resolve_version(t, options.get("startingVersion", 0))
+        )
         ev = options.get("endingVersion")
         self.to_v = cur if ev is None else _resolve_version(t, ev)
         if self.to_v > cur:
@@ -262,7 +302,14 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         self.ref = options.get("ref")
         cur = t.current().version
         sv = options.get("startingVersion")
-        if sv is None:
+        st = options.get("startingTimestamp")
+        if st is not None and sv is not None:
+            raise ValueError(
+                "startingVersion and startingTimestamp are exclusive"
+            )
+        if st is not None:
+            self.start = _start_before_timestamp(t, st)
+        elif sv is None:
             self.start = 0
         elif str(sv).lower() == "latest":
             # with a ref: "latest" = the ref's current position; a ref

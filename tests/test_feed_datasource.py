@@ -325,3 +325,24 @@ def test_cli_feed_incremental_export(spark, tmpdir_clean, capsys):
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 21
     assert len({(r["doc_id"], r["_lsn"]) for r in rows}) == 21
+
+
+def test_batch_starting_timestamp(spark, feed_fx):
+    """startingTimestamp resolves to 'every commit at or after ts' from
+    the snapshot chain's committed_at — metadata-only, no data read."""
+    table = feed_fx["table"]
+    ts3 = table.snapshot_at(3).committed_at - 0.0005
+    got = {(r["doc_id"], r["_lsn"])
+           for r in _batch(spark, table, startingTimestamp=ts3).collect()}
+    want = {(r["doc_id"], r["_lsn"])
+            for r in _batch(spark, table, startingVersion=2).collect()}
+    assert got == want and got
+    # a timestamp predating the table includes everything (creation v0
+    # is retained, so completeness is provable)
+    all_rows = _batch(
+        spark, table, startingTimestamp="1970-01-01T00:00:00"
+    ).count()
+    assert all_rows == _batch(spark, table).count()
+    with pytest.raises(Exception, match="exclusive"):
+        _batch(spark, table, startingVersion=1,
+               startingTimestamp=ts3).collect()
