@@ -346,3 +346,19 @@ def test_batch_starting_timestamp(spark, feed_fx):
     with pytest.raises(Exception, match="exclusive"):
         _batch(spark, table, startingVersion=1,
                startingTimestamp=ts3).collect()
+
+
+def test_feed_fails_closed_below_retention(spark, tmpdir_clean):
+    """A range whose FROM snapshot was expired must error, not silently
+    emit a partial changelog."""
+    from e_commerce_batch_etl_pipeline_spark.tables.maintenance import (
+        expire_snapshots,
+    )
+
+    wal_root = os.path.join(tmpdir_clean, "wal")
+    _write_wal(spark, wal_root, epochs=2)
+    table = _mor_table(spark, tmpdir_clean, wal_root)
+    expire_snapshots(table, keep_last=1)  # only the head survives
+    spark.dataSource.register(LakeFeedDataSource)
+    with pytest.raises(Exception, match="not retained"):
+        _batch(spark, table, startingVersion=0).collect()
