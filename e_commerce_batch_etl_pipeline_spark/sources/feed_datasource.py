@@ -38,9 +38,10 @@ stays the NET-diff batch surface.
 Version-step classification (planned driver-side from the immutable
 snapshot chain, so offset replay is deterministic):
 - **MOR delta commit** (files appended, none removed, every added file
-  ``kind=delta``): the changelog IS the added files — one
-  ``InputPartition`` per file, read worker-side via pyarrow (Arrow
-  batches end-to-end). This is O(changes) with parallelism = files.
+  ``kind=delta``): the changelog IS the added files — bin-packed into
+  row-budgeted ``InputPartition`` groups, read worker-side via pyarrow
+  (Arrow batches end-to-end). This is O(changes), with parallelism
+  following data volume rather than file count.
 - **Base-file append without removal** (bootstrap, CoW ingest into
   previously-empty buckets): every row in the added files is a genuine
   insert → emitted with ``_change_op='I'``, ``_lsn=-1`` (base files
@@ -100,21 +101,52 @@ class FeedUnsupportedCommit(ValueError):
 
 
 class _FeedPartition(InputPartition):
-    def __init__(self, path: str, kind: str, version: int):
-        self.path = path
-        self.kind = kind  # "delta" | "base"
-        self.version = version
+    """One read task: a BIN-PACKED list of changelog files. Packing
+    small files together amortizes the Python-worker per-partition cost
+    (measured 7.5× over a native JVM scan at one-file-per-partition on
+    a 1,280-tiny-file changelog — scripts/bench_feed_datasource.py);
+    large files still get their own partition because packing is
+    row-budgeted, so executor parallelism survives at scale."""
+
+    def __init__(self, files: list[tuple[str, str, int]]):
+        # (abs_path, kind "delta"|"base", commit version) per file
+        self.files = files
+
+
+def _bin_pack(entries: list[tuple[str, str, int, int]]) -> list[_FeedPartition]:
+    """Greedy row-budgeted packing in commit order (deterministic for a
+    given range — offset replay must replan identically). Budget adapts
+    to the range: ~64 partitions for small changelogs (overhead
+    amortization), while any file bigger than the budget stands alone
+    (parallelism at scale)."""
+    if not entries:
+        return []
+    total = sum(r for _, _, _, r in entries)
+    budget = min(1_000_000, max(10_000, total // 64))
+    parts: list[_FeedPartition] = []
+    cur: list[tuple[str, str, int]] = []
+    cur_rows = 0
+    for path, kind, version, rows in entries:
+        if cur and cur_rows + rows > budget:
+            parts.append(_FeedPartition(cur))
+            cur, cur_rows = [], 0
+        cur.append((path, kind, version))
+        cur_rows += rows
+    if cur:
+        parts.append(_FeedPartition(cur))
+    return parts
 
 
 def _plan_versions(root: str, from_v: int, to_v: int) -> list[_FeedPartition]:
-    """Classify every version step in (from_v, to_v] and return one
-    partition per changelog-bearing file. Deterministic for a given
-    range (snapshots and manifests are immutable), which is what makes
+    """Classify every version step in (from_v, to_v] and return the
+    changelog-bearing files bin-packed into read partitions.
+    Deterministic for a given range (snapshots and manifests are
+    immutable, packing is greedy in commit order), which is what makes
     streaming-offset replay exactly-once."""
     from ..tables.format import LakeTable
 
     t = LakeTable(root)
-    parts: list[_FeedPartition] = []
+    entries: list[tuple[str, str, int, int]] = []
     try:
         prev = t.snapshot_at(from_v)
     except FileNotFoundError:
@@ -151,47 +183,52 @@ def _plan_versions(root: str, from_v: int, to_v: int) -> list[_FeedPartition]:
             continue  # compaction fold / rewrite: logical no-op
         for f in added:
             kind = "delta" if f.get("kind") == "delta" else "base"
-            parts.append(
-                _FeedPartition(os.path.join(root, f["path"]), kind, v)
-            )
-    return parts
+            entries.append((
+                os.path.join(root, f["path"]), kind, v,
+                int(f.get("rows", 1)),
+            ))
+    return _bin_pack(entries)
 
 
 def _read_feed_partition(partition: _FeedPartition, target, payload: list[str]):
-    """Executor-side scan of one changelog file → Arrow RecordBatches
-    matching ``target`` (the declared stream schema). No row-level
-    Python objects; per-file schema drift (evolution) reconciled here."""
-    if not partition.path:
-        return
+    """Executor-side scan of one bin-packed file group → Arrow
+    RecordBatches matching ``target`` (the declared stream schema). No
+    row-level Python objects; per-file schema drift (evolution)
+    reconciled here."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(partition.path)
-    avail = set(pf.schema_arrow.names)
-    want = [c for c in payload if c in avail]
-    if partition.kind == "delta":
-        want += [c for c in ("op", "lsn") if c in avail]
-    for rb in pf.iter_batches(columns=want):
-        n = rb.num_rows
-        names = {rb.schema.field(i).name: i for i in range(rb.num_columns)}
-        cols = []
-        for name in payload:
-            ft = target.field(name).type
-            if name in names:
-                arr = rb.column(names[name])
-                if arr.type != ft:
-                    arr = arr.cast(ft)
+    for path, kind, version in partition.files:
+        pf = pq.ParquetFile(path)
+        avail = set(pf.schema_arrow.names)
+        want = [c for c in payload if c in avail]
+        if kind == "delta":
+            want += [c for c in ("op", "lsn") if c in avail]
+        for rb in pf.iter_batches(columns=want):
+            n = rb.num_rows
+            names = {
+                rb.schema.field(i).name: i for i in range(rb.num_columns)
+            }
+            cols = []
+            for name in payload:
+                ft = target.field(name).type
+                if name in names:
+                    arr = rb.column(names[name])
+                    if arr.type != ft:
+                        arr = arr.cast(ft)
+                else:
+                    arr = pa.nulls(n, type=ft)
+                cols.append(arr)
+            if kind == "delta":
+                op = rb.column(names["op"]).cast(pa.string())
+                lsn = rb.column(names["lsn"]).cast(pa.int64())
             else:
-                arr = pa.nulls(n, type=ft)
-            cols.append(arr)
-        if partition.kind == "delta":
-            op = rb.column(names["op"]).cast(pa.string())
-            lsn = rb.column(names["lsn"]).cast(pa.int64())
-        else:
-            op = pa.repeat(pa.scalar("I", type=pa.string()), n)
-            lsn = pa.repeat(pa.scalar(-1, type=pa.int64()), n)
-        ver = pa.repeat(pa.scalar(partition.version, type=pa.int64()), n)
-        yield pa.RecordBatch.from_arrays(cols + [op, lsn, ver], schema=target)
+                op = pa.repeat(pa.scalar("I", type=pa.string()), n)
+                lsn = pa.repeat(pa.scalar(-1, type=pa.int64()), n)
+            ver = pa.repeat(pa.scalar(version, type=pa.int64()), n)
+            yield pa.RecordBatch.from_arrays(
+                cols + [op, lsn, ver], schema=target
+            )
 
 
 def _arrow_target(full: T.StructType):
@@ -277,7 +314,7 @@ class LakeFeedBatchReader(DataSourceReader):
 
     def partitions(self) -> Sequence[InputPartition]:
         parts = _plan_versions(self.root, self.from_v, self.to_v)
-        return parts or [_FeedPartition("", "delta", -1)]
+        return parts or [_FeedPartition([])]
 
     def read(self, partition: _FeedPartition) -> Iterator:
         yield from _read_feed_partition(
@@ -368,11 +405,11 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         self._floor = max(self._floor, int(start["version"]),
                           int(end["version"]))
         if int(end["version"]) <= int(start["version"]):
-            return [_FeedPartition("", "delta", -1)]
+            return [_FeedPartition([])]
         parts = _plan_versions(
             self.root, int(start["version"]), int(end["version"])
         )
-        return parts or [_FeedPartition("", "delta", -1)]
+        return parts or [_FeedPartition([])]
 
     def read(self, partition: _FeedPartition) -> Iterator:
         yield from _read_feed_partition(

@@ -98,7 +98,10 @@ def main() -> None:
             )
             assert parts
         # increment-read flatness: one version near the chain's start vs
-        # its end (same change volume; table 40× bigger at the end)
+        # its end (same change volume; table 40× bigger at the end).
+        # warm-up read first so neither side pays session/registration
+        # costs
+        read_range(2, 3).count()
         t0 = time.monotonic()
         n_first = read_range(1, 2).count()
         first_sec = time.monotonic() - t0
