@@ -362,3 +362,36 @@ def test_feed_fails_closed_below_retention(spark, tmpdir_clean):
     spark.dataSource.register(LakeFeedDataSource)
     with pytest.raises(Exception, match="not retained"):
         _batch(spark, table, startingVersion=0).collect()
+
+
+def test_bin_pack_covers_budget_and_determinism():
+    """Every file exactly once, in order; groups respect the budget
+    except for single oversized files; identical input → identical
+    packing (offset replay replans bit-identically)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from e_commerce_batch_etl_pipeline_spark.sources.feed_datasource import (
+        _bin_pack,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=2_000_000),
+                    max_size=60))
+    def check(rows):
+        entries = [(f"f{i}", "delta", i, r) for i, r in enumerate(rows)]
+        parts = _bin_pack(entries)
+        flat = [f for p in parts for f in p.files]
+        assert flat == [(f"f{i}", "delta", i) for i in range(len(rows))]
+        if rows:
+            total = sum(rows)
+            budget = min(1_000_000, max(10_000, total // 64))
+            by_name = dict(zip([f"f{i}" for i in range(len(rows))], rows))
+            for p in parts:
+                grp = sum(by_name[f[0]] for f in p.files)
+                assert grp <= budget or len(p.files) == 1
+        assert [p.files for p in _bin_pack(entries)] == [
+            p.files for p in parts
+        ]
+
+    check()
