@@ -49,6 +49,13 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--interval-sec", type=float, default=3.0)
+    ap.add_argument("--publish-every-sec", type=float, default=0.0,
+                    help="> 0: run the FULL write-audit-publish pipeline "
+                         "live — a publisher thread audits (O(changes) "
+                         "DQ predicate) and fast-forwards the published "
+                         "ref on this interval, and the subscriber pins "
+                         "to the ref, so it must only ever receive "
+                         "audited versions")
     args = ap.parse_args()
 
     base_n = 500_000 // args.scale_div
@@ -70,7 +77,10 @@ def main() -> None:
     from e_commerce_batch_etl_pipeline_spark.streaming.microbatch import (
         CdcEngine,
     )
-    from e_commerce_batch_etl_pipeline_spark.tables.maintenance import verify
+    from e_commerce_batch_etl_pipeline_spark.tables.maintenance import (
+        publish,
+        verify,
+    )
 
     root = tempfile.mkdtemp(prefix="soak_feed_")
     try:
@@ -103,15 +113,42 @@ def main() -> None:
                 receipts.append((now, int(r["_commit_version"]),
                                  int(r["count"])))
 
-        q = (
+        wap = args.publish_every_sec > 0
+        reader = (
             spark.readStream.format("lakefeed")
             .option("root", table.root)
-            .option("startingVersion", 0).load()
+            .option("startingVersion", 0)
+        )
+        if wap:
+            reader = reader.option("ref", "published")
+        q = (
+            reader.load()
             .writeStream.foreachBatch(on_batch)
             .option("checkpointLocation", os.path.join(root, "sub_ckpt"))
             .trigger(processingTime="1 second")
             .start()
         )
+
+        # ---- WAP publisher: audit + fast-forward the ref on a cadence
+        publishes: list[tuple[float, int]] = []  # (wall, version)
+        stop_pub = threading.Event()
+
+        def publisher():
+            while not stop_pub.is_set():
+                rep = publish(
+                    table, spark, audit_predicate="doc_id IS NOT NULL",
+                    full_verify=False,
+                )
+                if rep["published"]:
+                    publishes.append((time.time(), rep["to_version"]))
+                stop_pub.wait(args.publish_every_sec)
+
+        pub_thread = None
+        if wap:
+            publish(table, spark, full_verify=False)  # bootstrap cut
+            publishes.append((time.time(), table.ref("published")))
+            pub_thread = threading.Thread(target=publisher)
+            pub_thread.start()
 
         # ---- producer + ingest, concurrent with the subscriber
         def writer():
@@ -134,6 +171,13 @@ def main() -> None:
         applied = sum(r.rows_applied for r in results)
         expected = base_n + applied
         head = table.current().version
+        if wap:
+            # final audited cut to the head so the subscriber can drain
+            rep = publish(table, spark,
+                          audit_predicate="doc_id IS NOT NULL",
+                          full_verify=False)
+            if rep["published"]:
+                publishes.append((time.time(), rep["to_version"]))
 
         # ---- wait for the subscriber to drain the backlog, then stop
         deadline = time.time() + 120
@@ -144,6 +188,9 @@ def main() -> None:
             ):
                 break
             time.sleep(0.5)
+        if pub_thread is not None:
+            stop_pub.set()
+            pub_thread.join()
         q.stop()
         q.awaitTermination()
 
@@ -169,6 +216,14 @@ def main() -> None:
         if not steady:
             steady = [-1.0]  # subscriber stalled: report, don't crash —
             # the exactly-once assertion below is the actual verdict
+        # WAP ordering: every delivered version must have been PUBLISHED
+        # before its delivery (0.5 s clock slack between threads)
+        wap_order_ok = None
+        if wap:
+            wap_order_ok = all(
+                any(pt <= wall + 0.5 and pv >= ver for pt, pv in publishes)
+                for wall, ver, _n in receipts
+            )
         v = verify(table, spark)
         print(json.dumps({
             "metric": "soak_feed_subscriber",
@@ -189,10 +244,15 @@ def main() -> None:
                 "max": round(max(steady), 2),
                 "versions": len(steady),
             },
+            "wap": {
+                "publishes": len(publishes),
+                "order_ok": wap_order_ok,
+            } if wap else None,
             "verify_ok": bool(v.get("ok")),
             "final_rows": v.get("rows"),
         }))
         assert total == distinct == expected, (total, distinct, expected)
+        assert wap_order_ok is None or wap_order_ok, "unaudited delivery"
         assert v.get("ok"), v
     finally:
         shutil.rmtree(root, ignore_errors=True)
