@@ -249,8 +249,13 @@ def _start_before_timestamp(table, ts_opt: str) -> int:
     """Delta's ``startingTimestamp`` semantics: include every commit at
     or after the timestamp — i.e. start AFTER the last version committed
     strictly before it. Accepts epoch seconds or an ISO-8601 string
-    (naive = UTC). Metadata-only: one pass over retained snapshot
-    headers, no data read."""
+    (naive = UTC). Header-only: reads each visited snapshot's JSON for
+    its ``committed_at`` — never materializes manifests, no data read.
+    Fails LOUD when the timestamp is beyond the newest commit (a unit
+    mixup like epoch-milliseconds would otherwise read as 'no changes')
+    or below the oldest retained snapshot (completeness unprovable)."""
+    import json as _json
+
     try:
         ts = float(ts_opt)
     except ValueError:
@@ -260,13 +265,28 @@ def _start_before_timestamp(table, ts_opt: str) -> int:
         if dt.tzinfo is None:
             dt = dt.replace(tzinfo=timezone.utc)
         ts = dt.timestamp()
+
+    md = os.path.join(table.root, "metadata")
+
+    def committed_at(v: int) -> float:
+        with open(os.path.join(md, f"snapshot-{v:08d}.json")) as f:
+            return float(_json.load(f).get("committed_at", 0.0))
+
     hist = table.history()
     start = None
-    for v in hist:
-        if table.snapshot_at(v).committed_at < ts:
+    hit_later = False
+    for v in hist:  # committed_at is monotone along the chain
+        if committed_at(v) < ts:
             start = v
         else:
-            break  # committed_at is monotone along the chain
+            hit_later = True
+            break
+    if not hit_later:
+        raise ValueError(
+            f"startingTimestamp {ts_opt} is after the newest commit — "
+            "an empty feed here would silently read as 'no changes' "
+            "(epoch-milliseconds instead of seconds?)"
+        )
     if start is None:
         if hist and hist[0] == 0:
             return 0  # table created after ts: everything is included
@@ -344,8 +364,15 @@ class LakeFeedStreamReader(DataSourceStreamReader):
             raise ValueError(
                 "startingVersion and startingTimestamp are exclusive"
             )
+        self._ts_opt = None
         if st is not None:
-            self.start = _start_before_timestamp(t, st)
+            # resolve LAZILY in initialOffset(): only a FRESH query needs
+            # the timestamp; a restart resumes from its checkpointed
+            # offset, and eagerly re-resolving here would permanently
+            # brick restarts once retention expires the snapshots around
+            # the original timestamp
+            self._ts_opt = str(st)
+            self.start = None
         elif sv is None:
             self.start = 0
         elif str(sv).lower() == "latest":
@@ -367,7 +394,7 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         # returned or been handed (partitions() raises it to the
         # checkpointed start after a restart); a rolled-back ref simply
         # stops producing batches until it passes the floor again.
-        self._floor = self.start
+        self._floor = self.start or 0
         self._payload = [
             f.name for f in full.fields if f.name not in _META_NAMES
         ]
@@ -380,6 +407,13 @@ class LakeFeedStreamReader(DataSourceStreamReader):
             return None  # nothing published yet — not an error
 
     def initialOffset(self) -> dict:
+        if self.start is None:  # startingTimestamp, fresh query only
+            from ..tables.format import LakeTable
+
+            self.start = _start_before_timestamp(
+                LakeTable(self.root), self._ts_opt
+            )
+            self._floor = max(self._floor, self.start)
         return {"version": self.start}
 
     def latestOffset(self) -> dict:

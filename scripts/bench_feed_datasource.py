@@ -47,8 +47,6 @@ def main() -> None:
 
     spark = build_session(master=f"local[{args.cores}]",
                           shuffle_partitions=args.cores)
-    from pyspark.sql import functions as F
-
     from e_commerce_batch_etl_pipeline_spark.sources.datagen import (
         generate_base_docs,
         write_wal,

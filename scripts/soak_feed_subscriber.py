@@ -135,12 +135,18 @@ def main() -> None:
 
         def publisher():
             while not stop_pub.is_set():
-                rep = publish(
-                    table, spark, audit_predicate="doc_id IS NOT NULL",
-                    full_verify=False,
-                )
-                if rep["published"]:
-                    publishes.append((time.time(), rep["to_version"]))
+                # skip idle ticks: publishing an unchanged head would
+                # re-run the audit over the FULL state (publish treats
+                # target <= ref as a rollback-style full-state audit)
+                # and re-tag for nothing
+                if table.current().version != table.ref("published"):
+                    rep = publish(
+                        table, spark,
+                        audit_predicate="doc_id IS NOT NULL",
+                        full_verify=False,
+                    )
+                    if rep["published"]:
+                        publishes.append((time.time(), rep["to_version"]))
                 stop_pub.wait(args.publish_every_sec)
 
         pub_thread = None

@@ -395,3 +395,59 @@ def test_bin_pack_covers_budget_and_determinism():
         ]
 
     check()
+
+
+def test_starting_timestamp_beyond_head_rejected(spark, feed_fx):
+    """A timestamp after the newest commit errors loudly (epoch-ms unit
+    mixups would otherwise read as 'no changes')."""
+    with pytest.raises(Exception, match="after the newest commit"):
+        _batch(spark, feed_fx["table"],
+               startingTimestamp=1.0e15).collect()
+
+
+def test_timestamp_stream_restarts_after_retention(spark, tmpdir_clean):
+    """startingTimestamp is resolved lazily: a checkpointed stream must
+    RESTART from its offset even after retention expired the snapshots
+    around the original timestamp."""
+    from e_commerce_batch_etl_pipeline_spark.tables.maintenance import (
+        expire_snapshots,
+    )
+
+    wal_root = os.path.join(tmpdir_clean, "wal")
+    _write_wal(spark, wal_root, epochs=2)
+    table = _mor_table(spark, tmpdir_clean, wal_root)
+    spark.dataSource.register(LakeFeedDataSource)
+    ts = table.snapshot_at(2).committed_at - 0.0005
+    ckpt = os.path.join(tmpdir_clean, "ck")
+    out = os.path.join(tmpdir_clean, "o")
+
+    def run_once():
+        q = (
+            spark.readStream.format("lakefeed")
+            .option("root", table.root)
+            .option("startingTimestamp", ts).load()
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(out).count() == 16
+    # retention expires everything below the head, INCLUDING the
+    # snapshots the timestamp resolved through
+    expire_snapshots(table, keep_last=1)
+    extra = [(500 + k, 8, "U", f"k{k:03d}", [500 + k], None, "s8")
+             for k in range(4)]
+    df = spark.createDataFrame(extra, ENV_SCHEMA).withColumn(
+        "ts", F.timestamp_seconds("lsn")
+    )
+    df.write.mode("overwrite").parquet(os.path.join(wal_root, "epoch-00008"))
+    CdcEngine(
+        spark, table, WalSource(wal_root), os.path.join(tmpdir_clean, "ckpt"),
+        merge_mode="mor", mor_compact_files=None,
+    ).run()
+    run_once()  # would raise FeedUnsupportedCommit under eager resolution
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 20
+    assert len([r for r in rows if r["_lsn"] >= 500]) == 4
