@@ -451,3 +451,36 @@ def test_timestamp_stream_restarts_after_retention(spark, tmpdir_clean):
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 20
     assert len([r for r in rows if r["_lsn"] >= 500]) == 4
+
+
+def test_feed_spans_rebucket(spark, tmpdir_clean):
+    """A mid-history rebucket (4→8 buckets) is a layout rewrite, not a
+    logical change: the feed skips it and the changelog spans it —
+    pre-rebucket commits under the old layout, post-rebucket commits
+    under the new one, nothing duplicated or lost."""
+    from e_commerce_batch_etl_pipeline_spark.tables.maintenance import (
+        rebucket,
+    )
+
+    wal_root = os.path.join(tmpdir_clean, "wal")
+    _write_wal(spark, wal_root, epochs=2)           # 16 rows
+    table = _mor_table(spark, tmpdir_clean, wal_root)
+    rebucket(table, spark, 8)
+    extra = [(700 + k, 9, "U", f"k{k:03d}", [700 + k], None, "s9")
+             for k in range(6)]
+    df = spark.createDataFrame(extra, ENV_SCHEMA).withColumn(
+        "ts", F.timestamp_seconds("lsn")
+    )
+    df.write.mode("overwrite").parquet(os.path.join(wal_root, "epoch-00009"))
+    CdcEngine(
+        spark, table, WalSource(wal_root), os.path.join(tmpdir_clean, "ckpt"),
+        merge_mode="mor", mor_compact_files=None,
+    ).run()
+    spark.dataSource.register(LakeFeedDataSource)
+    rows = _batch(spark, table).collect()
+    assert len(rows) == 22
+    assert len({(r["doc_id"], r["_lsn"]) for r in rows}) == 22
+    assert len([r for r in rows if r["_lsn"] >= 700]) == 6
+    # the rebucket's own version emitted nothing
+    versions = {r["_commit_version"] for r in rows}
+    assert table.current().version - 1 not in versions  # rebucket commit
