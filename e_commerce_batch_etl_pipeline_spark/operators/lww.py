@@ -43,19 +43,30 @@ def _op_rank():
     return F.when(F.col("op") == "D", F.lit(0)).otherwise(F.lit(1))
 
 
-def _payload_struct(df: DataFrame, key: str, order: str) -> list[str]:
-    return [c for c in df.columns if c not in (key,)]
+def _payload_struct(df: DataFrame, key, order: str) -> list[str]:
+    keys = (key,) if isinstance(key, str) else tuple(key)
+    return [c for c in df.columns if c not in keys]
 
 
-def lww_dedup(df: DataFrame, key: str = "doc_id", order: str = "lsn") -> DataFrame:
-    """Keep, per key, the row with max (order, op_rank). Single hash agg."""
-    payload = _payload_struct(df, key, order)
+def lww_dedup(df: DataFrame, key="doc_id", order: str = "lsn") -> DataFrame:
+    """Keep, per key, the row with max (order, op_rank). Single hash agg.
+
+    ``key`` may be one column name or a list (composite group key). The
+    engine's staging path groups by (table key, quarantine salt): because
+    the partitioning requirement of a multi-column groupBy is satisfied
+    by a child hash-partitioned on ANY subset of the group keys, a
+    ``repartition(B, table_key)`` upstream makes this aggregate run with
+    NO exchange of its own while its output stays bucket-pure — one
+    shuffle for dedup + bucket-aligned staging together (guide §2.4).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    payload = _payload_struct(df, keys, order)
     ordk = F.struct(F.col(order), _op_rank().alias("_rank")) if "op" in df.columns \
         else F.struct(F.col(order))
-    winner = df.groupBy(key).agg(
+    winner = df.groupBy(*keys).agg(
         F.max_by(F.struct(*payload), ordk).alias("_w")
     )
-    return winner.select(key, *[F.col(f"_w.{c}").alias(c) for c in payload])
+    return winner.select(*keys, *[F.col(f"_w.{c}").alias(c) for c in payload])
 
 
 def lww_dedup_salted(

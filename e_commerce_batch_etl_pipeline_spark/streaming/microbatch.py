@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 
 from ..functions.tokens import recompute_n_tok
 from ..operators.lww import lww_dedup, lww_dedup_salted
-from ..operators.merge import merge_upsert
+from ..operators.merge import merge_upsert, merge_upsert_lww
 from ..sources.wal import WalSource
 from ..tables.format import LakeTable, bucket_expr
 
@@ -465,47 +465,71 @@ class CdcEngine:
 
         # 5. watermark filter (exactly-once under partial replay):
         # bucket the key, then drop VALID rows at-or-below the bucket
-        # watermark; audit-lane rows always pass (they are never applied)
+        # watermark; audit-lane rows always pass (they are never applied).
+        # The per-bucket watermark is a PLAN-TIME literal array indexed by
+        # the bucket expression — the previous broadcast-join formulation
+        # paid a BroadcastExchange build job per epoch for a B-row
+        # relation (guide §2.4: remove shuffles/broadcasts outright when
+        # the small side is driver-resident metadata).
         B = snap.num_buckets
         wm = snap.watermark
-        flagged = flagged.withColumn(
-            "_bucket", bucket_expr(snap.key_column, B)
-        )
         if wm:
-            wm_df = self.spark.createDataFrame(
-                [(int(b), int(l)) for b, l in wm.items()], "_b int, _wm long"
+            # buckets with no watermark keep every row: LONG_MIN sentinel
+            # (lsn > LONG_MIN always) keeps the literal array homogeneous
+            no_wm = -(1 << 63)
+            wm_arr = [int(wm.get(b, no_wm)) for b in range(B)]
+            wm_col = F.element_at(
+                F.lit(wm_arr).cast("array<long>"),
+                bucket_expr(snap.key_column, B) + 1,
             )
-            flagged = (
-                flagged.join(
-                    F.broadcast(wm_df), flagged["_bucket"] == wm_df["_b"], "left"
-                )
-                .filter(
-                    (F.col("_q") == 1)
-                    | F.col("_wm").isNull()
-                    | (F.col("lsn") > F.col("_wm"))
-                )
-                .drop("_b", "_wm")
+            flagged = flagged.filter(
+                (F.col("_q") == 1) | (F.col("lsn") > wm_col)
             )
 
         # 6. LWW dedup — deterministic winner per key by max lsn. The
-        # audit lane passes through untouched: its synthetic group key
-        # ("~q#<lsn>#<row-hash>") makes every quarantined row its own
-        # single-row group (identical duplicate invalid rows collapse —
-        # acceptable for audit data), while valid rows group by the real
-        # key. One shuffle covers both lanes.
-        gk = F.when(
-            F.col("_q") == 1,
-            F.concat_ws(
-                "#", F.lit("~q"), F.col("lsn").cast("string"),
-                F.xxhash64(*[F.col(c) for c in raw.columns]).cast("string"),
-            ),
-        ).otherwise(F.col(snap.key_column).cast("string"))
-        work = flagged.withColumn("_gk", gk)
-        dedup = (
-            lww_dedup_salted(work, key="_gk", num_salts=self.num_salts)
-            if self.salted
-            else lww_dedup(work, key="_gk")
-        )
+        # audit lane rides the same aggregate: its salt column
+        # ("<lsn>#<row-hash>", "" on valid rows) makes every quarantined
+        # row its own single-row group (identical duplicate invalid rows
+        # collapse — acceptable for audit data), while valid rows group
+        # by (key, ""). Default plan: repartition(B, key) FIRST, then
+        # groupBy(key, salt) — the aggregate's clustering requirement is
+        # satisfied by the key partitioning, so dedup AND the bucket-pure
+        # staging write share ONE exchange (previously: groupBy shuffle
+        # on a synthetic string key + a second bucket repartition
+        # shuffle; guide §2.4). Trade, priced in BASELINE.md: the single
+        # exchange moves raw rows, so a pathological hot key lands on
+        # one reducer before collapsing — the ``salted`` flag keeps the
+        # two-stage plan (stage 1 collapses a hot key to ≤ num_salts
+        # rows before any bucket shuffle) for that regime.
+        if self.salted:
+            gk = F.when(
+                F.col("_q") == 1,
+                F.concat_ws(
+                    "#", F.lit("~q"), F.col("lsn").cast("string"),
+                    F.xxhash64(*[F.col(c) for c in raw.columns]).cast("string"),
+                ),
+            ).otherwise(F.col(snap.key_column).cast("string"))
+            work = flagged.withColumn("_gk", gk)
+            dedup = lww_dedup_salted(
+                work, key="_gk", num_salts=self.num_salts
+            )
+        else:
+            qsalt = F.when(
+                F.col("_q") == 1,
+                F.concat_ws(
+                    "#", F.col("lsn").cast("string"),
+                    F.xxhash64(*[F.col(c) for c in raw.columns]).cast("string"),
+                ),
+            ).otherwise(F.lit(""))
+            work = flagged.withColumn("_qsalt", qsalt).repartition(
+                B, F.col(snap.key_column)
+            )
+            dedup = lww_dedup(work, key=[snap.key_column, "_qsalt"])
+            # restore the envelope column order (staged parquet schema
+            # stays identical to the pre-optimization layout)
+            dedup = dedup.select(
+                *[c for c in flagged.columns if c in dedup.columns]
+            )
         # 7. vectorized n_tok recompute (derive-if-missing/wrong) — valid
         # lane only; audit rows keep their received n_tok verbatim
         if "n_tok" in dedup.columns:
@@ -699,18 +723,34 @@ class CdcEngine:
             base = self.table.read(self.spark, buckets=touched,
                                    snapshot=snap)
             payload = [c for c in dedup.columns if c != "_bucket"]
-            merged = merge_upsert(
-                base,
-                dedup.select(*payload),
-                key=snap.key_column,
-                # Broadcasting the change-keys skips shuffling the base —
-                # the right plan when per-epoch changes ≪ table size (the
-                # 10^10-scale steady state). For bulk epochs that touch a
-                # large key fraction, the driver-side broadcast build is
-                # SERIAL (collect + hash-relation) and caps scaling, so
-                # fall back to a shuffled join, which parallelizes.
-                broadcast_changes=rows_valid <= self.broadcast_threshold,
-            )
+            if rows_valid <= self.broadcast_threshold:
+                # Broadcasting the change-keys skips shuffling the base
+                # into the anti join — the right plan when per-epoch
+                # changes ≪ table size (the 10^10-scale steady state):
+                # the base streams through one hash probe, and the only
+                # base shuffle left is the bucket-pure write's.
+                merged = merge_upsert(
+                    base,
+                    dedup.select(*payload),
+                    key=snap.key_column,
+                    broadcast_changes=True,
+                )
+            else:
+                # Bulk epochs: the broadcast build is SERIAL driver work
+                # and the shuffled anti join would exchange base AND
+                # change-keys once each BEFORE the write's own bucket
+                # exchange. The union+max_by merge resolves survivors,
+                # upserts and deletes in one aggregate whose required
+                # clustering comes from a repartition(B, key) — so the
+                # whole merge + bucket-pure write is ONE exchange of
+                # base+changes (equivalence property-tested in
+                # tests/test_properties.py; guide §2.4/§3).
+                merged = merge_upsert_lww(
+                    base,
+                    dedup.select(*payload),
+                    key=snap.key_column,
+                    num_partitions=B,
+                )
             # 9. stage files + DQ gate metrics in the SAME job (df.observe).
             # No repartition/partitionBy here: write_data_files shuffles
             # once on the key at B partitions (= bucket assignment), and

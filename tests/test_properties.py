@@ -109,6 +109,70 @@ def test_split_replay_equals_single_replay(spark, rows):
     assert a == b
 
 
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(envelope_batches(), envelope_batches())
+def test_merge_lww_plan_equals_anti_join_plan(spark, base_rows, change_rows):
+    """``merge_upsert_lww`` (the bulk-epoch union+max_by plan) must be
+    row-identical to ``merge_upsert`` (anti join + union) for ANY base
+    state and ANY LWW-deduped change-set — the equivalence the engine's
+    broadcast-threshold switch rests on."""
+    from e_commerce_batch_etl_pipeline_spark.operators.merge import (
+        merge_upsert_lww,
+    )
+
+    base0 = spark.createDataFrame(
+        [], "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    bdf = spark.createDataFrame(
+        [tuple(r.values()) for r in base_rows], SCHEMA
+    )
+    base = merge_upsert(base0, lww_dedup(bdf), broadcast_changes=False)
+    changes = lww_dedup(
+        spark.createDataFrame([tuple(r.values()) for r in change_rows], SCHEMA)
+    )
+
+    def key_set(df):
+        return {
+            (r["doc_id"], tuple(r["tokens"] or []), r["n_tok"], r["source"])
+            for r in df.collect()
+        }
+
+    a = key_set(merge_upsert(base, changes, broadcast_changes=False))
+    b = key_set(merge_upsert_lww(base, changes))
+    assert a == b
+    assert merge_upsert(base, changes).columns == \
+        merge_upsert_lww(base, changes).columns
+
+
+def test_merge_lww_plan_schema_evolution_alignment(spark):
+    """Columns present on only one side survive the union+max_by plan the
+    same way they survive the anti-join plan: change-side-only columns
+    read NULL on untouched base rows, base-only columns read NULL on
+    upserted rows."""
+    from e_commerce_batch_etl_pipeline_spark.operators.merge import (
+        merge_upsert_lww,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 1, "keep"), ("b", 2, "old")],
+        "doc_id string, n_tok int, legacy string",
+    )
+    changes = spark.createDataFrame(
+        [(10, "U", "b", 20, "fr"), (11, "I", "c", 30, "en"),
+         (12, "D", "a", None, None)],
+        "lsn long, op string, doc_id string, n_tok int, lang string",
+    )
+    got_a = {(r["doc_id"], r["n_tok"], r["legacy"], r["lang"])
+             for r in merge_upsert(base, changes,
+                                   broadcast_changes=False).collect()}
+    got_b = {(r["doc_id"], r["n_tok"], r["legacy"], r["lang"])
+             for r in merge_upsert_lww(base, changes).collect()}
+    assert got_a == got_b == {
+        ("b", 20, None, "fr"), ("c", 30, None, "en"),
+    }
+
+
 # ---------- manifest-layer invariants (pure metadata, no Spark) ----------
 
 _entries = st.lists(
