@@ -43,7 +43,11 @@ def decode_image(blob: bytes) -> "object":
 
 def fake_decode_features(blob: bytes, dim: int = 4) -> list[float]:
     """Deterministic fake 'decoder': derives a feature vector from the
-    byte content (stable stand-in for a real embedding model)."""
+    byte content (stable stand-in for a real embedding model).
+
+    acc[j] is a running (sum + byte) % 997 over bytes at positions
+    ≡ j (mod dim) — algebraically sum(bytes[j::dim]) % 997, which is
+    what the vectorized batch path computes (bit-equality tested)."""
     if blob is None or len(blob) == 0:
         return [0.0] * dim
     acc = [0] * dim
@@ -52,19 +56,43 @@ def fake_decode_features(blob: bytes, dim: int = 4) -> list[float]:
     return [a / 997.0 for a in acc]
 
 
+def _fake_decode_features_np(blob, dim: int = 4) -> list[float]:
+    """Vectorized ``fake_decode_features``: one numpy strided sum per
+    feature instead of a per-byte Python loop (guide §4.2 — hand whole
+    batches to native vectorized code). Bit-identical by construction:
+    ((a + b) % m applied left-to-right) == (Σ % m) on ints, and the final
+    /997.0 divides the same exact integers."""
+    import numpy as np
+
+    if blob is None or len(blob) == 0:
+        return [0.0] * dim
+    a = np.frombuffer(blob, dtype=np.uint8)
+    return [int(a[j::dim].sum(dtype=np.int64)) % 997 / 997.0
+            for j in range(dim)]
+
+
 def extract_features(df: DataFrame, id_col: str = "doc_id",
                      payload_col: str = "payload",
                      batch_decoder=fake_decode_features) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
-    One Arrow batch in, one out; numpy/pure-python per blob inside the
-    batch (the real version would call the decoder model here)."""
+    One Arrow batch in, one out; numpy per blob inside the batch (the
+    real version would call the decoder model here). The default decoder
+    is swapped for its vectorized numpy twin (bit-equal, tested) so no
+    per-byte Python runs in the batch loop; a caller-supplied decoder is
+    honored as given."""
     import hashlib
+
+    decoder = (
+        _fake_decode_features_np
+        if batch_decoder is fake_decode_features
+        else batch_decoder
+    )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = pdf[payload_col]
-            feats = [batch_decoder(b) for b in blobs]
+            feats = [decoder(b) for b in blobs]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype(str),
@@ -74,7 +102,7 @@ def extract_features(df: DataFrame, id_col: str = "doc_id",
                         for b in blobs
                     ],
                     "checksum": [
-                        "" if b is None else hashlib.md5(bytes(b)).hexdigest()
+                        "" if b is None else hashlib.md5(b).hexdigest()
                         for b in blobs
                     ],
                     "feat_mean": [sum(f) / len(f) for f in feats],

@@ -53,26 +53,108 @@ def cosine_topk(df: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 qid_col: str = "query_id") -> DataFrame:
     """Brute-force cosine top-k: for each query vector, the k nearest
-    corpus vectors (query itself excluded). Queries are broadcast — the
-    corpus never shuffles; at 1000 executors this is a map-side loop.
+    corpus vectors (query itself excluded). Queries live in the task
+    closure — the corpus never shuffles; at 1000 executors this is a
+    map-side loop.
+
+    Physical shape (guide §4.2): one MapInArrow kernel does the whole
+    (batch × dim) @ (dim × n_queries) int64 matmul + per-batch top-k in
+    numpy, emitting ≤ n_queries × k candidate rows per batch; a final
+    tiny window merges candidates globally. The previous Catalyst
+    formulation materialized the full |corpus| × |queries| cross product
+    through interpreted per-element array folds and shuffled it into the
+    window. Arithmetic is bit-identical (same float→double quantize,
+    exact int64 dots/norms, same IEEE divide/sqrt, NaN-first descending
+    order like Spark's total order on doubles); a top-k selection under
+    the same total order commutes with taking the union of per-batch
+    top-k's, so results are row-identical (oracle-checked).
+
+    Dense fixed-dim vectors are required — a null/ragged vector or null
+    element raises rather than silently diverging from the SQL oracle's
+    null algebra (this operator is the labeled exactness baseline; its
+    inputs are embedding tables, which are dense by construction).
     """
-    corpus = df.select(
-        F.col(id_col).alias("nn_id"), quantize(F.col(vec_col)).alias("qv")
-    ).withColumn("n2", norm2_q(F.col("qv")))
-    qs = queries.select(
-        F.col(qid_col), quantize(F.col(vec_col)).alias("qq")
-    ).withColumn("qn2", norm2_q(F.col("qq")))
-    scored = (
-        corpus.crossJoin(F.broadcast(qs))
-        .filter(F.col("nn_id") != F.col(qid_col))
-        .withColumn("dot", dot_q(F.col("qv"), F.col("qq")))
-        .withColumn(
-            "cos", F.col("dot") / F.sqrt(F.col("n2") * F.col("qn2"))
-        )
+    import numpy as np
+
+    q_rows = queries.select(F.col(qid_col), F.col(vec_col)).collect()
+    id_t = df.schema[id_col].dataType.simpleString()
+    qid_t = queries.schema[qid_col].dataType.simpleString()
+    cand_schema = (
+        f"{qid_col} {qid_t}, nn_id {id_t}, dot long, n2 long, cos double"
+    )
+    if not q_rows:
+        empty = df.sparkSession.createDataFrame([], cand_schema)
+        return empty.withColumn("rank", F.lit(1)).select(
+            qid_col, "rank", "nn_id", "dot", "n2"
+        ).limit(0)
+    if any(r[1] is None or any(x is None for x in r[1]) for r in q_rows):
+        raise ValueError("cosine_topk requires dense query vectors")
+    dims = {len(r[1]) for r in q_rows}
+    if len(dims) != 1:
+        raise ValueError(f"cosine_topk: mixed query dims {sorted(dims)}")
+    d = dims.pop()
+    qid_arr = np.array([r[0] for r in q_rows])
+    Q = np.floor(
+        np.array([r[1] for r in q_rows], dtype=np.float64) * QUANT + 0.5
+    ).astype(np.int64)
+    qn2 = (Q * Q).sum(axis=1)
+    nq = len(qid_arr)
+
+    def score_batches(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = len(batch)
+            if n == 0:
+                continue
+            ids_arr = batch.column(0)
+            lists = batch.column(1)
+            offs = np.asarray(lists.offsets)
+            lengths = offs[1:] - offs[:-1]
+            if lists.null_count or lists.values.null_count or (
+                    lengths != d).any():
+                raise ValueError(
+                    "cosine_topk requires dense fixed-dim corpus vectors"
+                )
+            ids = np.asarray(ids_arr.to_numpy(zero_copy_only=False))
+            fv = np.asarray(
+                lists.values.to_numpy(zero_copy_only=False)
+            ).reshape(n, d)
+            C = np.floor(fv.astype(np.float64) * QUANT + 0.5).astype(
+                np.int64
+            )
+            n2 = (C * C).sum(axis=1)
+            dot = C @ Q.T                                   # n × nq int64
+            denom = np.sqrt((n2[:, None] * qn2[None, :]).astype(np.float64))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = dot / denom
+            out = {c: [] for c in
+                   (qid_col, "nn_id", "dot", "n2", "cos")}
+            for j in range(nq):
+                excl = ids != qid_arr[j]
+                cj = cos[:, j]
+                # Spark's double total order ranks NaN ABOVE +inf, so a
+                # NaN cosine (zero-norm vector) sorts FIRST descending
+                key = np.where(np.isnan(cj), -np.inf, -cj)
+                order = np.lexsort((ids[excl], key[excl]))[:k]
+                sel = np.nonzero(excl)[0][order]
+                out[qid_col].append(np.full(len(sel), qid_arr[j]))
+                out["nn_id"].append(ids[sel])
+                out["dot"].append(dot[sel, j])
+                out["n2"].append(n2[sel])
+                out["cos"].append(cj[sel])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(out[c])) for c in
+                 (qid_col, "nn_id", "dot", "n2", "cos")],
+                names=[qid_col, "nn_id", "dot", "n2", "cos"],
+            )
+
+    cand = df.select(F.col(id_col), F.col(vec_col)).mapInArrow(
+        score_batches, cand_schema
     )
     w = W.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col("nn_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(qid_col, "rank", "nn_id", "dot", "n2")
     )
@@ -130,21 +212,66 @@ def hyperplane_signature(df: DataFrame, id_col: str = "vec_id",
                 f"cannot infer dim: no non-null {vec_col} values"
             )
     weights = _plane_weights(planes, dim)
-    rows = df.select(
-        F.col(id_col), quantize(F.col(vec_col)).alias("_qv")
-    ).filter(F.size("_qv") == dim)
-    bucket = F.lit(0).cast("long")
-    for p in range(planes):
-        warr = F.array(*[F.lit(w) for w in weights[p]])
-        s_p = F.aggregate(
-            F.zip_with(F.col("_qv"), warr, lambda x, w: x * w),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(
-            s_p > 0, F.lit(1 << p).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return rows.select(F.col(id_col), bucket.alias("bucket"))
+
+    # MapInArrow numpy kernel (guide §4.2): the projection is ONE
+    # (batch × dim) @ (dim × planes) int64 matmul per Arrow batch — the
+    # previous formulation built a (planes × dim)-literal Catalyst tree
+    # (~1k py4j calls + interpreted per-element HOF folds per row) whose
+    # PLAN CONSTRUCTION alone cost more than this kernel's execution
+    # (measured in OPTIMIZATION_r06.md). Still map-only: zero exchanges,
+    # weights live in the task closure. Arithmetic is bit-identical:
+    # float32 → float64 widening, *10000 + 0.5, floor, int64 — the same
+    # IEEE ops Catalyst ran; projections/dots are exact int64.
+    import numpy as np
+
+    id_field = df.schema[id_col]
+    out_schema = f"{id_col} {id_field.dataType.simpleString()}, bucket long"
+    W = np.array(weights, dtype=np.int64).T          # dim × planes
+    pows = np.array([1 << p for p in range(planes)], dtype=np.int64)
+    d = int(dim)
+
+    def sign_batches(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            lists = batch.column(1)
+            n = len(batch)
+            if n == 0:
+                continue
+            offs = np.asarray(lists.offsets)
+            lengths = offs[1:] - offs[:-1]
+            not_null = ~np.asarray(
+                pa.compute.is_null(lists).to_numpy(zero_copy_only=False)
+            )
+            keep = (lengths == d) & not_null
+            if not keep.any():
+                continue
+            vals = lists.values
+            starts = offs[:-1][keep]
+            # gather kept rows into an (m × d) matrix
+            idx = starts[:, None] + np.arange(d)[None, :]
+            fv = np.asarray(vals.to_numpy(zero_copy_only=False))[idx]
+            qv = np.floor(fv.astype(np.float64) * QUANT + 0.5).astype(
+                np.int64
+            )
+            s = qv @ W
+            bucket = ((s > 0) * pows).sum(axis=1)
+            if vals.null_count:
+                # a null ELEMENT nullifies every plane's fold in the
+                # Catalyst semantics → bucket 0 for that row
+                elem_null = np.asarray(
+                    pa.compute.is_null(vals).to_numpy(zero_copy_only=False)
+                )
+                bucket[elem_null[idx].any(axis=1)] = 0
+            yield pa.RecordBatch.from_arrays(
+                [ids.filter(pa.array(keep)), pa.array(bucket)],
+                names=[id_col, "bucket"],
+            )
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInArrow(
+        sign_batches, out_schema
+    )
 
 
 def embedding_neardup_lsh(df: DataFrame, id_col: str = "vec_id",

@@ -36,7 +36,8 @@ def assert_no_python_row_udf(df: DataFrame, allow_arrow: bool = True) -> str:
             "plan contains BatchEvalPython (row-at-a-time Python UDF):\n" + plan
         )
     if not allow_arrow:
-        for node in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        for node in ("ArrowEvalPython", "MapInPandas",
+                     "FlatMapGroupsInPandas", "MapInArrow"):
             if node in plan:
                 raise AssertionError(f"plan contains {node}:\n" + plan)
     return plan

@@ -98,6 +98,27 @@ def test_fake_decoder_stable():
     assert fake_decode_features(b"") == [0.0, 0.0, 0.0, 0.0]
 
 
+def test_fake_decoder_vectorized_bit_equal():
+    """The numpy batch decoder the mapInPandas path swaps in must be
+    bit-identical to the per-byte reference over random blobs."""
+    import random
+
+    from e_commerce_batch_etl_pipeline_spark.functions.multimodal import (
+        _fake_decode_features_np,
+    )
+
+    rng = random.Random(7)
+    blobs = [b"", None, b"\x00", bytes(range(256))] + [
+        bytes(rng.randrange(256) for _ in range(rng.randrange(0, 2000)))
+        for _ in range(50)
+    ]
+    for blob in blobs:
+        ref = fake_decode_features(blob)
+        fast = _fake_decode_features_np(blob)
+        assert ref == fast
+        assert sum(ref) / len(ref) == sum(fast) / len(fast)
+
+
 def test_pack_sequences_partition_independent(spark):
     """The distributed two-pass prefix sum equals the sequential cumsum
     for ANY chunk count, and bin spans follow the math."""

@@ -61,7 +61,12 @@ def test_base_read_prunes_files(spark, tmpdir_clean):
     ).count()
 
 
-def test_quantized_similarity_is_jvm_side(spark):
+def test_quantized_similarity_vectorized_not_row_python(spark):
+    """The brute-force cosine baseline runs as ONE MapInArrow numpy
+    kernel over the corpus (r6: replaces the interpreted Catalyst HOF
+    cross-product — guide §4.2); it must never row-serialize through
+    Python, and the kernel's candidate stream must stay tiny (the full
+    cross product is never materialized as rows)."""
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     from e_commerce_batch_etl_pipeline_spark.operators.similarity import (
         cosine_topk,
@@ -71,7 +76,8 @@ def test_quantized_similarity_is_jvm_side(spark):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     topk = cosine_topk(emb, q, k=3)
-    assert_no_python_row_udf(topk, allow_arrow=False)
+    plan = assert_no_python_row_udf(topk, allow_arrow=True)
+    assert "MapInArrow" in plan, plan
 
 
 def test_headline_query_plans(spark):
@@ -99,7 +105,17 @@ def test_headline_query_plans(spark):
         if name == "cdc_replay_engine":
             continue  # runs the engine (side effects); covered by e2e tests
         df = q(spark, sf)
-        allow_arrow = name in ("multimodal_meta", "text_zscore_by_source")
+        # sanctioned Arrow-vectorized paths (never row-at-a-time): the
+        # multimodal/zscore pandas surfaces, plus the r6 MapInArrow numpy
+        # kernels for hyperplane signatures and brute-force cosine
+        # (OPTIMIZATION_r06.md — guide §4.2: batch native compute beats
+        # interpreted Catalyst HOF folds; oracle parity pins bit-equality)
+        allow_arrow = name in (
+            "multimodal_meta", "text_zscore_by_source",
+            "embed_cosine_topk", "embed_lsh_signature",
+            "embed_ann_lsh_topk", "ann_recall_at_k",
+            "ann_recall_multiprobe", "dedup_embedding_neardup_lsh",
+        )
         assert_no_python_row_udf(df, allow_arrow=allow_arrow)
 
 
