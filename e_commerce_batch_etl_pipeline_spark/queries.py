@@ -34,6 +34,45 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _footer_max_long(sf_dir: str, table: str, col: str):
+    """Exact MAX of an integer column from parquet row-group statistics —
+    the answer aggregate pushdown would give, read driver-side in O(row
+    groups) footer metadata instead of a full-scan Spark job (numeric
+    parquet stats are exact; only binary stats truncate). Returns None
+    when any row group lacks usable stats — callers fall back to the
+    Spark aggregate, so results never depend on stats being present
+    (r6; guide §1.2 step 1: don't run a distributed pass for a value
+    the storage footer already carries)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path) else [path]
+    )
+    if not files:
+        return None
+    mx = None
+    for f in files:
+        try:
+            md = pq.ParquetFile(f).metadata
+        except Exception:
+            return None
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if col not in idx:
+            return None
+        ci = idx[col]
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                return None
+            v = int(st.max)
+            mx = v if mx is None else max(mx, v)
+    return mx
+
+
 def _enable_python_pushdown(spark: SparkSession) -> None:
     # Spark 4.1 ships spark.sql.python.filterPushdown.enabled=false; a
     # Python DataSource that implements pushFilters() then fails planning
@@ -200,16 +239,23 @@ def etl_broadcast_enrich(spark, sf_dir):
     """J1 broadcast left join enrich (src/pipeline.py:61-99): revenue per
     region through customer→nation→region dims, dims broadcast."""
     orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region")
-    dim = (
-        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .select("c_custkey", "r_name")
-    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    # chained LEFT broadcast joins — the oracle's own join shape. The
+    # previous form materialized an inner-joined dim THEN broadcast it,
+    # which serialized two nested broadcast builds inside a third's build
+    # job; chaining lets the three (column-pruned) dim builds proceed
+    # independently while orders stream through all three hash probes in
+    # one stage. Result-identical: a missing dim row yields NULL r_name
+    # → 'Other' under either shape (r6; guide §3.1).
     return (
-        orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey, "left")
+        orders.join(F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey, "left")
+        .join(F.broadcast(nation),
+              cust.c_nationkey == nation.n_nationkey, "left")
+        .join(F.broadcast(region),
+              nation.n_regionkey == region.r_regionkey, "left")
         .na.fill({"r_name": "Other"})
         .groupBy("r_name")
         .agg(
@@ -480,7 +526,10 @@ def cdc_merge_upsert(spark, sf_dir):
     the oracle computes (an algebraic identity that pins the operator's
     semantics)."""
     env = _events_as_envelopes(spark, sf_dir)
-    n = env.agg(F.max("lsn")).collect()[0][0] + 1
+    mx = _footer_max_long(sf_dir, "events", "event_id")
+    if mx is None:  # stats missing: fall back to the distributed agg
+        mx = env.agg(F.max("lsn")).collect()[0][0]
+    n = mx + 1
     half = n // 2
     first = env.filter(F.col("lsn") < half)
     second = env.filter(F.col("lsn") >= half)
@@ -519,7 +568,10 @@ def cdc_replay_engine(spark, sf_dir):
     from .tables.format import TableSchema
 
     env = _events_as_envelopes(spark, sf_dir)
-    n = env.agg(F.max("lsn")).collect()[0][0] + 1
+    mx = _footer_max_long(sf_dir, "events", "event_id")
+    if mx is None:  # stats missing: fall back to the distributed agg
+        mx = env.agg(F.max("lsn")).collect()[0][0]
+    n = mx + 1
     seg = max(1, (n + 3) // 4)
     envelopes = env.select(
         "lsn",
@@ -645,7 +697,10 @@ def _table_fixture(spark, sf_dir):
     if key in _TF_FIXTURE:
         return _TF_FIXTURE[key]
     env = _events_as_envelopes(spark, sf_dir)
-    n = env.agg(F.max("lsn")).collect()[0][0] + 1
+    mx = _footer_max_long(sf_dir, "events", "event_id")
+    if mx is None:  # stats missing: fall back to the distributed agg
+        mx = env.agg(F.max("lsn")).collect()[0][0]
+    n = mx + 1
     seg = max(1, (n + 3) // 4)
     t0 = F.pmod(F.col("lsn"), F.lit(50257)).cast("int")
     toks = F.slice(
@@ -3440,7 +3495,10 @@ def table_schema_evolution(spark, sf_dir):
     key = os.path.abspath(sf_dir)
     if key not in _EVO_FIXTURE:
         env = _events_as_envelopes(spark, sf_dir)
-        n = env.agg(F.max("lsn")).collect()[0][0] + 1
+        mx = _footer_max_long(sf_dir, "events", "event_id")
+        if mx is None:  # stats missing: fall back to the distributed agg
+            mx = env.agg(F.max("lsn")).collect()[0][0]
+        n = mx + 1
         seg = max(1, (n + 3) // 4)
         # Block keys (doc_id = lsn // Q): each key receives Q consecutive
         # writes then NEVER again — so keys whose block ends before the
