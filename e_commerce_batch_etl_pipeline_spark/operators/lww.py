@@ -11,13 +11,19 @@ deterministic: the winner per key is the row with the highest ``lsn``
 Two physical strategies, same semantics (tested equivalent):
 
 - ``lww_dedup``: single ``max_by`` aggregate — THE DEFAULT, including
-  under skew. Spark's partial (map-side) aggregation keeps one winner
-  per key per map task, so a hot key reaches the reduce side as at most
-  #map-tasks rows: the skew is collapsed *before* the shuffle. Measured
-  on a 2.4M-event epoch with ONE key receiving 50% of all changes
+  under skew. Called standalone (groupBy straight over the source),
+  Spark's partial (map-side) aggregation keeps one winner per key per
+  map task, so a hot key reaches the reduce side as at most #map-tasks
+  rows: the skew is collapsed *before* the shuffle. Measured on a
+  2.4M-event epoch with ONE key receiving 50% of all changes
   (local[16]): plain max_by 0.44s vs salted 1.44s vs window row_number
   2.04s — the partial agg wins outright, and the window variant (which
   sorts the hot key's rows in one partition) is the one that melts.
+  NOTE (r6): the ENGINE's staging path now repartitions by the table
+  key at the bucket count BEFORE this aggregate so dedup + bucket-pure
+  write share one exchange; under that plan the hot key's raw rows do
+  land on one reducer first, which is why the ``salted`` flag (below)
+  remains the engine's hot-key escape hatch.
 - ``lww_dedup_salted``: explicit two-stage aggregate. Stage 1 groups by
   (key, salt) where salt = pmod(xxhash64(lsn), S); stage 2 reduces the S
   winners. Needed when the aggregation buffer cannot be combined

@@ -466,14 +466,18 @@ class CdcEngine:
         # 5. watermark filter (exactly-once under partial replay):
         # bucket the key, then drop VALID rows at-or-below the bucket
         # watermark; audit-lane rows always pass (they are never applied).
-        # The per-bucket watermark is a PLAN-TIME literal array indexed by
-        # the bucket expression — the previous broadcast-join formulation
-        # paid a BroadcastExchange build job per epoch for a B-row
-        # relation (guide §2.4: remove shuffles/broadcasts outright when
-        # the small side is driver-resident metadata).
+        # Small B: a PLAN-TIME literal array indexed by the bucket
+        # expression — no BroadcastExchange build job per epoch for a
+        # B-row relation (guide §2.4: remove shuffles/broadcasts outright
+        # when the small side is driver-resident metadata). Large B: the
+        # broadcast join — PySpark's lit(list) lowers to CreateArray of B
+        # Literal nodes, and above ~1k buckets the analyzer/optimizer
+        # walking that tree costs MORE plan time per epoch than the
+        # broadcast build it replaces (measured at B=4096: literal path
+        # 1.3-2.0 s vs join 0.3-1.4 s per epoch).
         B = snap.num_buckets
         wm = snap.watermark
-        if wm:
+        if wm and B <= 1024:
             # buckets with no watermark keep every row: LONG_MIN sentinel
             # (lsn > LONG_MIN always) keeps the literal array homogeneous
             no_wm = -(1 << 63)
@@ -484,6 +488,25 @@ class CdcEngine:
             )
             flagged = flagged.filter(
                 (F.col("_q") == 1) | (F.col("lsn") > wm_col)
+            )
+        elif wm:
+            wm_df = self.spark.createDataFrame(
+                [(int(b), int(l)) for b, l in wm.items()], "_b int, _wm long"
+            )
+            flagged = flagged.withColumn(
+                "_wmb", bucket_expr(snap.key_column, B)
+            )
+            flagged = (
+                flagged.join(
+                    F.broadcast(wm_df), flagged["_wmb"] == wm_df["_b"],
+                    "left",
+                )
+                .filter(
+                    (F.col("_q") == 1)
+                    | F.col("_wm").isNull()
+                    | (F.col("lsn") > F.col("_wm"))
+                )
+                .drop("_b", "_wm", "_wmb")
             )
 
         # 6. LWW dedup — deterministic winner per key by max lsn. The

@@ -60,6 +60,29 @@ def test_golden_final_state(spark, tmpdir_clean):
     assert_states_equal(expected, actual)
 
 
+def test_golden_final_state_large_bucket_count(spark, tmpdir_clean):
+    """Same golden-state contract through the LARGE-B watermark branch:
+    above 1024 buckets the engine switches from the plan-time literal
+    watermark array (whose ~B Literal nodes cost more analyzer time than
+    a broadcast build past ~1k) back to the broadcast join — both
+    branches must replay to the identical state (r6)."""
+    base = generate_base_docs(spark, 200, seed=42, max_len=16)
+    table = bootstrap_table(
+        os.path.join(tmpdir_clean, "table"), base, num_buckets=1040
+    )
+    wal_root = os.path.join(tmpdir_clean, "wal")
+    write_wal(spark, wal_root, 3, 300, 200, seed=42, max_len=16)
+    wal = WalSource(wal_root)
+    eng = CdcEngine(spark, table, wal,
+                    os.path.join(tmpdir_clean, "ckpt"), merge_mode="mor")
+    results = eng.run()
+    assert all(r.status == "committed" for r in results)
+    payload = ["tokens", "n_tok", "source"]
+    expected = _oracle_state(base, wal, spark, payload)
+    actual = _collect_state(table.read(spark), payload)
+    assert_states_equal(expected, actual)
+
+
 def test_replay_idempotent(spark, tmpdir_clean):
     table, wal, base = _setup(spark, tmpdir_clean)
     CdcEngine(spark, table, wal, os.path.join(tmpdir_clean, "c1")).run()
