@@ -1609,6 +1609,7 @@ class LakeTable:
             for e in snap.files:
                 by_bucket.setdefault(e["bucket"], []).append(e)
             manifests: dict[str, str] = {}
+            to_write: list[tuple[int, list]] = []
             for b, entries in by_bucket.items():
                 reuse = (
                     parent_manifests is not None
@@ -1619,9 +1620,29 @@ class LakeTable:
                 if reuse:
                     manifests[str(b)] = parent_manifests[str(b)]
                 else:
-                    manifests[str(b)] = _write_manifest(
-                        md, sorted(entries, key=lambda e: e["path"])
+                    to_write.append(
+                        (b, sorted(entries, key=lambda e: e["path"]))
                     )
+            # dirty manifests are independent content-addressed files —
+            # write+fsync them on a thread pool (I/O-bound, GIL released
+            # in fsync; r6: a 64-bucket epoch paid ~64 serial fsyncs per
+            # commit, a 4096-bucket commit thousands). Durability is
+            # unchanged: every manifest is fsynced before the VERSION
+            # pointer below publishes anything referencing it.
+            if len(to_write) > 4:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                    max_workers=min(16, len(to_write))
+                ) as ex:
+                    for (b, _), name in zip(
+                        to_write,
+                        ex.map(lambda t: _write_manifest(md, t[1]), to_write),
+                    ):
+                        manifests[str(b)] = name
+            else:
+                for b, entries in to_write:
+                    manifests[str(b)] = _write_manifest(md, entries)
             snap.manifests = manifests
         vpath = os.path.join(md, VERSION_FILE)
         if cas_parent is not None:
