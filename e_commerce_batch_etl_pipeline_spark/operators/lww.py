@@ -54,6 +54,14 @@ def _payload_struct(df: DataFrame, key, order: str) -> list[str]:
     return [c for c in df.columns if c not in keys]
 
 
+# Column-expression memo keyed by (schema, keys, order): unresolved
+# Columns are immutable and bind by name at analysis, so the agg/select
+# trees are reusable across DataFrames with the same shape. The engine
+# rebuilds this DAG every microbatch epoch; the memo removes the py4j
+# construction round-trips from the per-epoch driver-serial path (r6).
+_EXPR_CACHE: dict = {}
+
+
 def lww_dedup(df: DataFrame, key="doc_id", order: str = "lsn") -> DataFrame:
     """Keep, per key, the row with max (order, op_rank). Single hash agg.
 
@@ -66,13 +74,21 @@ def lww_dedup(df: DataFrame, key="doc_id", order: str = "lsn") -> DataFrame:
     shuffle for dedup + bucket-aligned staging together (guide §2.4).
     """
     keys = [key] if isinstance(key, str) else list(key)
-    payload = _payload_struct(df, keys, order)
-    ordk = F.struct(F.col(order), _op_rank().alias("_rank")) if "op" in df.columns \
-        else F.struct(F.col(order))
-    winner = df.groupBy(*keys).agg(
-        F.max_by(F.struct(*payload), ordk).alias("_w")
-    )
-    return winner.select(*keys, *[F.col(f"_w.{c}").alias(c) for c in payload])
+    ck = (tuple(df.columns), tuple(keys), order)
+    hit = _EXPR_CACHE.get(ck)
+    if hit is None:
+        payload = _payload_struct(df, keys, order)
+        ordk = F.struct(F.col(order), _op_rank().alias("_rank")) \
+            if "op" in df.columns else F.struct(F.col(order))
+        if len(_EXPR_CACHE) > 128:
+            _EXPR_CACHE.clear()
+        hit = _EXPR_CACHE[ck] = (
+            F.max_by(F.struct(*payload), ordk).alias("_w"),
+            [F.col(f"_w.{c}").alias(c) for c in payload],
+        )
+    agg, out = hit
+    winner = df.groupBy(*keys).agg(agg)
+    return winner.select(*keys, *out)
 
 
 def lww_dedup_salted(

@@ -176,9 +176,21 @@ class CdcEngine:
         self.stats_max_footer_files = stats_max_footer_files
         self.commit_retries = commit_retries
         self.delta_blooms = delta_blooms
+        # Column-expression memo: the staging DAG is rebuilt every epoch,
+        # but its expression trees are epoch-invariant (unresolved Columns
+        # bind by name at analysis and are immutable). Reusing them cuts
+        # the per-epoch py4j construction round-trips — measured as the
+        # largest driver-serial component of an epoch (r6; guide §5).
+        self._excache: dict = {}
         os.makedirs(checkpoint_dir, exist_ok=True)
         os.makedirs(os.path.join(checkpoint_dir, "lineage"), exist_ok=True)
         os.makedirs(os.path.join(checkpoint_dir, "quarantine"), exist_ok=True)
+
+    def _cached_col(self, key, build):
+        got = self._excache.get(key)
+        if got is None:
+            got = self._excache[key] = build()
+        return got
 
     # ---------- checkpoint ----------
 
@@ -401,6 +413,11 @@ class CdcEngine:
 
     def _apply_changes_once(self, raw, epoch: int) -> EpochResult:
         t0 = time.time()
+        import sys as _sys
+        _ph = (lambda tag: print(
+            f"PHASE e{epoch} {tag} {time.time() - t0:.3f}",
+            file=_sys.stderr, flush=True)) if os.environ.get(
+            "SPARK_GRAFT_PHASE_LOG") == "1" else (lambda tag: None)
         snap = self.table.current()
 
         # 1. fence check — full-epoch replay is a no-op (epochs below the
@@ -412,6 +429,7 @@ class CdcEngine:
                                duration_sec=time.time() - t0)
         if raw is None:
             raw = self.wal.read_epoch(self.spark, epoch)
+        _ph("wal_read")
 
         # 3. schema evolution from the envelope shape — metadata-only DDL:
         #    new nullable payload columns are ADDED; a payload column
@@ -449,13 +467,16 @@ class CdcEngine:
         from ..functions.tokens import envelope_validity
 
         flagged = raw.withColumn(
-            "_q", (~envelope_validity()).cast("int")
+            "_q", self._cached_col(
+                "validity", lambda: (~envelope_validity()).cast("int"))
         )
         obs_in = Observation()
         flagged = flagged.observe(
             obs_in,
-            F.count(F.lit(1)).alias("rows_in"),
-            F.sum("_q").alias("rows_q"),
+            *self._cached_col("obs_in", lambda: (
+                F.count(F.lit(1)).alias("rows_in"),
+                F.sum("_q").alias("rows_q"),
+            )),
         )
         if not self.audit_quarantine:
             # audit lane off: invalid rows are dropped after the counting
@@ -484,7 +505,9 @@ class CdcEngine:
             wm_arr = [int(wm.get(b, no_wm)) for b in range(B)]
             wm_col = F.element_at(
                 F.lit(wm_arr).cast("array<long>"),
-                bucket_expr(snap.key_column, B) + 1,
+                self._cached_col(
+                    ("wm_idx", snap.key_column, B),
+                    lambda: bucket_expr(snap.key_column, B) + 1),
             )
             flagged = flagged.filter(
                 (F.col("_q") == 1) | (F.col("lsn") > wm_col)
@@ -537,13 +560,18 @@ class CdcEngine:
                 work, key="_gk", num_salts=self.num_salts
             )
         else:
-            qsalt = F.when(
-                F.col("_q") == 1,
-                F.concat_ws(
-                    "#", F.col("lsn").cast("string"),
-                    F.xxhash64(*[F.col(c) for c in raw.columns]).cast("string"),
-                ),
-            ).otherwise(F.lit(""))
+            qsalt = self._cached_col(
+                ("qsalt", tuple(raw.columns)),
+                lambda: F.when(
+                    F.col("_q") == 1,
+                    F.concat_ws(
+                        "#", F.col("lsn").cast("string"),
+                        F.xxhash64(
+                            *[F.col(c) for c in raw.columns]
+                        ).cast("string"),
+                    ),
+                ).otherwise(F.lit("")),
+            )
             work = flagged.withColumn("_qsalt", qsalt).repartition(
                 B, F.col(snap.key_column)
             )
@@ -556,11 +584,14 @@ class CdcEngine:
         # 7. vectorized n_tok recompute (derive-if-missing/wrong) — valid
         # lane only; audit rows keep their received n_tok verbatim
         if "n_tok" in dedup.columns:
-            dedup = dedup.withColumn("_n_tok_recv", F.col("n_tok").cast("int"))
-            dedup = recompute_n_tok(dedup).withColumn(
-                "n_tok",
+            recv_col, keep_col = self._cached_col("ntok_fold", lambda: (
+                F.col("n_tok").cast("int"),
                 F.when(F.col("_q") == 1, F.col("_n_tok_recv"))
                 .otherwise(F.col("n_tok")),
+            ))
+            dedup = dedup.withColumn("_n_tok_recv", recv_col)
+            dedup = recompute_n_tok(dedup).withColumn(
+                "n_tok", keep_col
             ).drop("_n_tok_recv")
         else:
             dedup = recompute_n_tok(dedup)
@@ -586,10 +617,12 @@ class CdcEngine:
         # KEEPING the partition-index == bucket file naming inside each
         # (file part-0000i in _q=0 holds exactly bucket i's rows — the
         # task id is the shuffle partition index; asserted by tests)
+        _ph("dag_built")
         with bucket_aligned_write(self.spark):
             dedup.repartition(B, F.col(snap.key_column)).write.mode(
                 "overwrite"
             ).partitionBy("_q").parquet(stage_dir)
+        _ph("staged")
         conflicts = int(obs_in.get["rows_q"] or 0)
         if self.audit_quarantine:
             qsrc = os.path.join(stage_dir, "_q=1")
@@ -629,16 +662,22 @@ class CdcEngine:
                     }
             else:
                 stats = self._bucket_stats(valid_dir, snap)
+            _ph("entries_built")
             if not stats:
                 return EpochResult(
                     epoch=epoch, status="empty", conflicts=conflicts,
                     duration_sec=time.time() - t0,
                 )
-            dedup = self.spark.read.parquet(valid_dir)
+            # staged change-set re-read: LAZY — even constructing the
+            # reader costs a driver-side footer/schema pass per epoch,
+            # and the default MOR path (adopt-by-move) never consumes it
+            # (r6; guide §5: keep needless work off the driver)
+            dedup = None
             touched = sorted(stats)
             bucket_max_lsn = {b: s["max_lsn"] for b, s in stats.items()}
             rows_valid = sum(s["rows"] for s in stats.values())
             if self.strict_dq:
+                dedup = self.spark.read.parquet(valid_dir)
                 # key-uniqueness re-check (LWW output is unique per key by
                 # construction — groupBy(key) — so this guards against
                 # regressions, not data; one extra job when enabled)
@@ -680,6 +719,7 @@ class CdcEngine:
                     valid_dir, touched, key_column=snap.key_column,
                     entries=staged_entries,
                 )
+                _ph("adopted")
                 landed = self.table.commit(
                     epoch=epoch,
                     replaced_buckets=touched,
@@ -689,6 +729,7 @@ class CdcEngine:
                     props={"epoch": epoch, "mode": "mor"},
                     delta=True,
                 )
+                _ph("committed")
                 if landed is None:
                     # fence no-op: a concurrent engine committed this
                     # epoch between our fence check and our commit. The
@@ -745,6 +786,8 @@ class CdcEngine:
             # only the epoch's changes and read-time LWW orders by lsn).
             base = self.table.read(self.spark, buckets=touched,
                                    snapshot=snap)
+            if dedup is None:
+                dedup = self.spark.read.parquet(valid_dir)
             payload = [c for c in dedup.columns if c != "_bucket"]
             if rows_valid <= self.broadcast_threshold:
                 # Broadcasting the change-keys skips shuffling the base

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 from contextlib import contextmanager
@@ -69,6 +70,28 @@ BOOTSTRAP_EPOCH = -1
 
 class ConcurrentCommitError(RuntimeError):
     """Another writer published a snapshot since this commit was planned."""
+# Shared driver-side I/O pool (footer reads, manifest write+fsync): the
+# per-epoch phases used to build and tear down a 16-thread pool EACH —
+# thread spawn/join is pure per-epoch driver-serial overhead (r6;
+# guide §5). Lazy singleton; tasks never submit back into the pool, so
+# it cannot self-deadlock.
+_IO_POOL = None
+_IO_POOL_LOCK = threading.Lock()
+
+
+def _io_pool():
+    global _IO_POOL
+    if _IO_POOL is None:
+        with _IO_POOL_LOCK:
+            if _IO_POOL is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                _IO_POOL = ThreadPoolExecutor(
+                    max_workers=16, thread_name_prefix="lake-io"
+                )
+    return _IO_POOL
+
+
 _TYPE_WIDENING_OK = {
     ("int", "bigint"),
     ("smallint", "int"),
@@ -354,8 +377,6 @@ def _build_entries(
     commit's entry build is not 4096 SERIAL driver reads — the same
     treatment the engine's staged-stats fast path uses
     (streaming/microbatch.py::_footer_stats)."""
-    from concurrent.futures import ThreadPoolExecutor
-
     cands = []
     for fn in sorted(os.listdir(src_dir)):
         if not fn.endswith(".parquet"):
@@ -374,8 +395,7 @@ def _build_entries(
             b, key_column,
         )
 
-    with ThreadPoolExecutor(max_workers=min(16, len(cands))) as ex:
-        return [e for e in ex.map(one, cands) if e is not None]
+    return [e for e in _io_pool().map(one, cands) if e is not None]
 
 
 def _may_contain_keys(entry: dict, sorted_keys: list) -> bool:
@@ -1630,16 +1650,13 @@ class LakeTable:
             # unchanged: every manifest is fsynced before the VERSION
             # pointer below publishes anything referencing it.
             if len(to_write) > 4:
-                from concurrent.futures import ThreadPoolExecutor
-
-                with ThreadPoolExecutor(
-                    max_workers=min(16, len(to_write))
-                ) as ex:
-                    for (b, _), name in zip(
-                        to_write,
-                        ex.map(lambda t: _write_manifest(md, t[1]), to_write),
-                    ):
-                        manifests[str(b)] = name
+                for (b, _), name in zip(
+                    to_write,
+                    _io_pool().map(
+                        lambda t: _write_manifest(md, t[1]), to_write
+                    ),
+                ):
+                    manifests[str(b)] = name
             else:
                 for b, entries in to_write:
                     manifests[str(b)] = _write_manifest(md, entries)
