@@ -82,3 +82,29 @@ def test_tiebreak_delete_loses(spark):
     assert w["x"][1] == "U"
     w2 = _winners(lww_dedup_salted(df, num_salts=4))
     assert w2["x"][1] == "U"
+
+
+def test_expr_memo_reuse_is_result_invariant(spark):
+    """The r6 expression memo (operators/lww.py::_EXPR_CACHE) must hand
+    back trees that bind freshly per DataFrame: two different inputs
+    with the SAME schema (a cache hit) dedup independently and
+    identically to a cold cache."""
+    from e_commerce_batch_etl_pipeline_spark.operators import lww
+
+    a = spark.createDataFrame(
+        [(1, 0, "U", "x", [1], 1, "web"), (2, 0, "U", "x", [2], 1, "web")],
+        SCHEMA,
+    )
+    b = spark.createDataFrame(
+        [(9, 0, "U", "x", [9], 1, "wiki"), (3, 0, "D", "y", None, None, None)],
+        SCHEMA,
+    )
+    lww._EXPR_CACHE.clear()
+    cold_a = _winners(lww_dedup(a))
+    assert len(lww._EXPR_CACHE) == 1  # memo populated
+    hit_b = _winners(lww_dedup(b))   # same schema: cache hit, new input
+    assert len(lww._EXPR_CACHE) == 1
+    lww._EXPR_CACHE.clear()
+    assert _winners(lww_dedup(a)) == cold_a
+    assert _winners(lww_dedup(b)) == hit_b
+    assert cold_a["x"][0] == 2 and hit_b["x"][0] == 9
