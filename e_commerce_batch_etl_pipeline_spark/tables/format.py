@@ -773,7 +773,11 @@ class LakeTable:
             rows = [
                 (
                     f["path"], int(f["bucket"]),
-                    f.get("kind", "base"), int(f["rows"]),
+                    f.get("kind", "base"),
+                    # nullable: manifest entries written before per-file
+                    # stats existed lack "rows" — inspect must render
+                    # them as null, not raise (ADVICE r5)
+                    None if f.get("rows") is None else int(f["rows"]),
                     # stringified: key stats keep the key column's type
                     # in the manifest (string or int keys)
                     None if f.get("min_key") is None else str(f["min_key"]),
@@ -908,7 +912,17 @@ class LakeTable:
                 ktype = dict(
                     (n, t) for n, t, _ in snap.schema.fields
                 )[snap.key_column]
-                hs = [key_hash(k, ktype) for k in ks]
+                # a probe key that cannot coerce to the key column's
+                # type must fail OPEN like every other pruning path,
+                # not crash the read (ADVICE r5): int("x") in key_hash
+                # raises ValueError
+                def _h(k):
+                    try:
+                        return key_hash(k, ktype)
+                    except (TypeError, ValueError):
+                        return None
+
+                hs = [_h(k) for k in ks]
                 if all(h is not None for h in hs):
                     files = [
                         f for f in files if may_contain(f, self.root, hs)

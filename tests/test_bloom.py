@@ -343,3 +343,20 @@ def test_python_murmur3_matches_spark_and_bucket_expr(spark):
 
     assert key_bucket(1.5, "double", 8) is None  # unsupported → fallback
     assert key_bucket(None, "string", 8) is None
+
+
+def test_bloom_probe_fails_open_on_unhashable_key(bloom_table, spark, monkeypatch):
+    """A probe key that cannot coerce to the key column's type must skip
+    bloom pruning (fail open) like every other pruning path, not crash
+    the read (ADVICE r5)."""
+    import e_commerce_batch_etl_pipeline_spark.tables.bloom as bloom_mod
+
+    keys = [r["doc_id"] for r in
+            bloom_table.read(spark).select("doc_id").limit(2).collect()]
+    expected = _rows(bloom_table.read(spark, keys=keys))
+
+    def boom(k, t):
+        raise ValueError("cannot coerce probe key")
+
+    monkeypatch.setattr(bloom_mod, "key_hash", boom)
+    assert _rows(bloom_table.read(spark, keys=keys)) == expected

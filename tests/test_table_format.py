@@ -488,3 +488,19 @@ def test_cli_verify_subcommand(spark, table, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 3 and out["ok"] is False
     assert victim in out["missing_files"]
+
+
+def test_meta_files_tolerates_statless_entries(spark, table):
+    """Manifest entries written before per-file stats existed lack
+    "rows"/min/max keys; inspect must render null, not raise (ADVICE r5)."""
+    import copy
+
+    snap = copy.deepcopy(table.current())
+    assert snap.files, "fixture should have live files"
+    e = snap.files[0]
+    e.pop("rows", None)
+    e.pop("min_key", None)
+    e.pop("max_key", None)
+    rows = {r["path"]: r for r in table.meta(spark, "files", snapshot=snap).collect()}
+    assert rows[e["path"]]["rows"] is None
+    assert rows[e["path"]]["min_key"] is None
